@@ -1,0 +1,61 @@
+"""Typed configuration for the whole pipeline.
+
+The reference scatters configuration across positional CLI args and
+compile-time ``#define``s (choleskyTest01.cpp:74-115, PB_Cholesky.h:10-14,
+LSparsity.h:446-534).  Here it is one dataclass covering ordering,
+amalgamation, scheduling, kernel tiling, dtype and sharding.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    # ---- ordering (reference: LSparsity.h:446-621 GIVEN/SCOTCH/METIS/AMD) ----
+    #: one of "natural", "amd", "nd" (geometric nested dissection when node
+    #: coordinates are available), "rcm", "given".
+    ordering: str = "amd"
+    #: permutation used when ordering == "given" (maps new -> old).
+    given_perm: Optional[Sequence[int]] = None
+
+    # ---- supernode amalgamation (reference: Inspection_BlockC.h:370-483) ----
+    #: relaxed-amalgamation thresholds: merge child into parent when
+    #: nchild_cols <= nrelax[0], or zeros-fraction <= zrelax[k] at size
+    #: breakpoints nrelax[k] (CHOLMOD-style rule, choleskyTest01.cpp:111-112).
+    nrelax: Tuple[int, int, int] = (4, 16, 48)
+    zrelax: Tuple[float, float, float] = (0.8, 0.1, 0.05)
+    #: hard cap on supernode width; wider supernodes are split into panels of
+    #: this width so every MXU tile class stays bounded.
+    max_supernode_width: int = 128
+
+    # ---- scheduling (replaces LBC, InspectionLevel_06.h:18) ----
+    #: pad each wavefront level of scalar work to a multiple of this many
+    #: columns per scan step.
+    cols_per_step: int = 0  # 0 = auto from level-size distribution
+    #: merge this many consecutive steps into one unrolled scan body
+    #: (the TPU analogue of LBC level coarsening; 1 = plain wavefront H1).
+    steps_per_superstep: int = 1
+    #: width classes for supernodal panel pools (powers of two, ascending).
+    width_classes: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    #: height granularity of panel padding (f32 sublane tile is 8).
+    height_unit: int = 8
+
+    # ---- numerics ----
+    #: dtype of the numeric phase ("float32" on TPU; "float64" runs on CPU).
+    dtype: str = "float32"
+    #: iterative-refinement sweeps applied after triangular solves to recover
+    #: accuracy lost to f32 (the reference is f64 end-to-end).
+    refine_steps: int = 0
+
+    # ---- distribution ----
+    #: number of devices along the partition ("w-partition owner") mesh axis.
+    num_partitions: int = 1
+
+    # ---- instrumentation ----
+    verify: bool = False
+    profile: bool = False
+
+    def replace(self, **kw) -> "SolverConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,55 @@
+"""Reach sets.
+
+Reference: common/Reach.h — ``reach`` (DFS closure of an RHS pattern in the
+DAG of L, for pruned sparse-RHS triangular solves, P4) and ``ereach``
+(row pattern of L via etree traversal, driving the left-looking update loop).
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from parsy_bench_tpu.core.csc import CSC, IDX
+
+
+def ereach(a: CSC, parent: np.ndarray, k: int) -> np.ndarray:
+    """Pattern of row k of L (excluding the diagonal), ascending.
+
+    These are exactly the columns j < k whose update touches column k in
+    left-looking factorization (reference: ``ereach`` common/Reach.h:89).
+    """
+    indptr, indices = a.to_scipy().T.tocsc().indptr, a.to_scipy().T.tocsc().indices
+    seen = set()
+    out: list[int] = []
+    for p in range(indptr[k], indptr[k + 1]):
+        j = int(indices[p])
+        path = []
+        while j != -1 and j < k and j not in seen:
+            path.append(j)
+            seen.add(j)
+            j = int(parent[j])
+        out.extend(path)
+    return np.array(sorted(out), dtype=IDX)
+
+
+def reach(l_pattern: sp.csc_matrix, rhs_rows: np.ndarray) -> np.ndarray:
+    """All rows touched when solving L x = b with b nonzero only at
+    ``rhs_rows``: the DFS closure of rhs_rows under edges j -> i for
+    L[i, j] != 0 (reference: ``reach`` common/Reach.h:14).
+
+    Returned in ascending (= topological for lower-triangular L) order.
+    """
+    n = l_pattern.shape[0]
+    indptr, indices = l_pattern.indptr, l_pattern.indices
+    visited = np.zeros(n, dtype=bool)
+    stack = list(np.asarray(rhs_rows, dtype=np.int64))
+    for r in stack:
+        visited[r] = True
+    while stack:
+        j = stack.pop()
+        for p in range(indptr[j], indptr[j + 1]):
+            i = indices[p]
+            if not visited[i]:
+                visited[i] = True
+                stack.append(i)
+    return np.nonzero(visited)[0].astype(IDX)
