@@ -94,9 +94,15 @@ class CSC:
         lower triangle of the full symmetric operator.
         """
         perm = np.asarray(perm, dtype=np.int64)
-        full = self.symmetrize_from_lower() if self.is_lower() else self
-        m = full.to_scipy()[np.ix_(perm, perm)].tocsc()
-        out = CSC.from_scipy(sp.tril(m, 0).tocsc() if self.is_lower() else m)
+        inv = np.empty(self.n, dtype=np.int64)
+        inv[perm] = np.arange(self.n)
+        was_lower = self.is_lower()
+        full = self.symmetrize_from_lower() if was_lower else self
+        # O(nnz) entry remap (scipy fancy indexing is quadratic here)
+        coo = full.to_scipy().tocoo()
+        m = sp.csc_matrix((coo.data, (inv[coo.row], inv[coo.col])),
+                          shape=(self.n, self.n))
+        out = CSC.from_scipy(sp.tril(m, 0).tocsc() if was_lower else m)
         if self.coords is not None:
             out.coords = self.coords[perm]
         return out

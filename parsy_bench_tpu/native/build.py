@@ -1,0 +1,104 @@
+"""Lazy g++ build + ctypes loader for the native symbolic library.
+
+The shared object is rebuilt whenever the source hash changes; a build or
+load failure makes ``load()`` raise, which ``parsy_bench_tpu.native``
+swallows into the pure-NumPy fallback.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "src", "symbolic.cpp")
+_BUILD = os.path.join(_HERE, "_build")
+
+_I32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_I64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_F64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_c64 = ctypes.c_int64
+
+
+class NativeLib:
+    """Typed wrappers matching the NumPy specifications in
+    parsy_bench_tpu.symbolic (same argument conventions)."""
+
+    def __init__(self, dll: ctypes.CDLL):
+        self._dll = dll
+        dll.pbt_etree.argtypes = [_c64, _I64, _I32, _I32]
+        dll.pbt_postorder.argtypes = [_c64, _I64, _I32, _I32, _c64, _I32]
+        dll.pbt_subtree_accumulate.argtypes = [_c64, _I32, _F64]
+        dll.pbt_tree_depths.argtypes = [_c64, _I32, _I64]
+        dll.pbt_tree_wavefront.argtypes = [_c64, _I32, _I64]
+        dll.pbt_col_counts.argtypes = [_c64, _I64, _I32, _I32, _I64]
+        dll.pbt_symbolic_pattern.argtypes = [_c64, _I64, _I32, _I32, _I64, _I32]
+        dll.pbt_ereach_sn.argtypes = [_c64, _c64, _I64, _I32, _I32, _I32,
+                                      _I64, _I32, _I32]
+        dll.pbt_ereach_sn.restype = ctypes.c_int64
+
+    def etree(self, n, indptr, indices):
+        parent = np.empty(n, dtype=np.int32)
+        self._dll.pbt_etree(n, np.ascontiguousarray(indptr, np.int64),
+                            np.ascontiguousarray(indices, np.int32), parent)
+        return parent
+
+    def postorder(self, n, childptr, children, roots):
+        post = np.empty(n, dtype=np.int32)
+        self._dll.pbt_postorder(
+            n, np.ascontiguousarray(childptr, np.int64),
+            np.ascontiguousarray(children, np.int32),
+            np.ascontiguousarray(roots, np.int32), len(roots), post)
+        return post
+
+    def subtree_accumulate(self, parent, out):
+        self._dll.pbt_subtree_accumulate(len(parent), parent, out)
+
+    def tree_depths(self, parent, depth):
+        self._dll.pbt_tree_depths(len(parent), parent, depth)
+
+    def tree_wavefront(self, parent, lev):
+        self._dll.pbt_tree_wavefront(len(parent), parent, lev)
+
+    def col_counts(self, n, indptr, indices, parent):
+        cc = np.empty(n, dtype=np.int64)
+        self._dll.pbt_col_counts(n, np.ascontiguousarray(indptr, np.int64),
+                                 np.ascontiguousarray(indices, np.int32),
+                                 parent, cc)
+        return cc
+
+    def symbolic_pattern(self, n, indptr, indices, parent):
+        cc = self.col_counts(n, indptr, indices, parent)
+        nnz = int(cc.sum())
+        rptr = np.empty(n + 1, dtype=np.int64)
+        rind = np.empty(nnz, dtype=np.int32)
+        self._dll.pbt_symbolic_pattern(
+            n, np.ascontiguousarray(indptr, np.int64),
+            np.ascontiguousarray(indices, np.int32), parent, rptr, rind)
+        return rptr, rind
+
+    def ereach_sn(self, col1, col2, aptr, aind, col2sup, sparent,
+                  marked, out, stack):
+        return self._dll.pbt_ereach_sn(col1, col2, aptr, aind, col2sup,
+                                       sparent, marked, out, stack)
+
+
+def _source_tag() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16]
+
+
+def load() -> NativeLib:
+    os.makedirs(_BUILD, exist_ok=True)
+    so = os.path.join(_BUILD, f"libpbt_{_source_tag()}.so")
+    if not os.path.exists(so):
+        tmp = so + f".tmp{os.getpid()}"
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+             _SRC, "-o", tmp],
+            check=True, capture_output=True)
+        os.replace(tmp, so)
+    return NativeLib(ctypes.CDLL(so))

@@ -1,0 +1,74 @@
+"""Native C++ fast path must match the NumPy specification bit-for-bit.
+
+The NumPy implementations in parsy_bench_tpu.symbolic are the spec; here we
+run both paths on the same inputs and compare (SURVEY §4: unit tests the
+reference lacks)."""
+import numpy as np
+import pytest
+
+from parsy_bench_tpu.core import generate
+from parsy_bench_tpu import symbolic
+import importlib
+
+_cc_mod = importlib.import_module("parsy_bench_tpu.symbolic.colcounts")
+_etree_mod = importlib.import_module("parsy_bench_tpu.symbolic.etree")
+from parsy_bench_tpu.native import lib as native_lib
+
+pytestmark = pytest.mark.skipif(native_lib is None,
+                                reason="native library failed to build")
+
+
+@pytest.fixture(params=["tiny", "bcsstk14ish", "ecology_small"])
+def mat(request):
+    return generate.SUITE[request.param]()
+
+
+def _with_lib(monkeypatch, lib):
+    monkeypatch.setattr(_etree_mod, "_native", lib)
+    monkeypatch.setattr(_cc_mod, "_native", lib)
+
+
+def test_native_builds():
+    assert native_lib is not None
+
+
+def test_etree_matches(mat, monkeypatch):
+    _with_lib(monkeypatch, None)
+    ref = symbolic.etree(mat)
+    _with_lib(monkeypatch, native_lib)
+    got = symbolic.etree(mat)
+    assert np.array_equal(ref, got)
+
+
+def test_postorder_matches(mat, monkeypatch):
+    _with_lib(monkeypatch, None)
+    parent = symbolic.etree(mat)
+    w = np.random.default_rng(0).uniform(1, 3, mat.n)
+    ref = symbolic.postorder(parent)
+    ref_w = symbolic.postorder(parent, weights=w)
+    _with_lib(monkeypatch, native_lib)
+    assert np.array_equal(symbolic.postorder(parent), ref)
+    assert np.array_equal(symbolic.postorder(parent, weights=w), ref_w)
+
+
+def test_tree_passes_match(mat, monkeypatch):
+    _with_lib(monkeypatch, None)
+    parent = symbolic.etree(mat)
+    ref_lev = symbolic.tree_levels(parent)
+    ref_dep = _etree_mod.tree_depths(parent)
+    ref_sub = symbolic.subtree_sizes(parent)
+    _with_lib(monkeypatch, native_lib)
+    assert np.array_equal(symbolic.tree_levels(parent), ref_lev)
+    assert np.array_equal(_etree_mod.tree_depths(parent), ref_dep)
+    assert np.array_equal(symbolic.subtree_sizes(parent), ref_sub)
+
+
+def test_colcounts_pattern_match(mat, monkeypatch):
+    _with_lib(monkeypatch, None)
+    parent = symbolic.etree(mat)
+    ref_cc = symbolic.col_counts(mat, parent)
+    ref_pat = symbolic.symbolic_pattern(mat, parent)
+    _with_lib(monkeypatch, native_lib)
+    assert np.array_equal(symbolic.col_counts(mat, parent), ref_cc)
+    got_pat = symbolic.symbolic_pattern(mat, parent)
+    assert (ref_pat != got_pat).nnz == 0
