@@ -138,6 +138,6 @@ SUITE = {
     "tiny": lambda: random_spd(60, density=0.02, band=2, seed=1),
     "bcsstk14ish": lambda: fem_grid(14, 14, dof=3, seed=2),      # ~1.8k like bcsstk14
     "ecology_small": lambda: laplace_2d(64),                      # grid class
-    "apache_small": lambda: laplace_3d(16),                       # 3D class
+    "apache_small": lambda: laplace_3d(12),                       # 3D class
     "fem_medium": lambda: fem_grid(40, 40, dof=3, seed=3),        # af_shell class
 }

@@ -1,0 +1,113 @@
+"""End-to-end solver models: analyze -> factorize -> solve.
+
+The user-facing API of the framework, playing the role of the reference's
+benchmark drivers (examples/choleskyTest01.cpp: readMatrix -> analyze_p2 ->
+cholesky_left_par_05 -> verify; examples/triangularTest02.cpp for trisolve).
+``analyze`` is the host inspector (ordering + symbolic + plan), ``factorize``
+and ``solve`` run jitted on the device.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from parsy_bench_tpu.config import SolverConfig
+from parsy_bench_tpu.core.csc import CSC
+from parsy_bench_tpu.ops.simplicial import SimplicialExecutor
+from parsy_bench_tpu.symbolic.etree import etree
+from parsy_bench_tpu.symbolic.ordering import compute_ordering
+from parsy_bench_tpu.symbolic.plan import cholesky_plan, trisolve_plan
+
+
+class CholeskySolver:
+    """Sparse SPD solver: A x = b via L L^T with fill-reducing ordering.
+
+    >>> s = CholeskySolver(a, SolverConfig(ordering="amd")).factorize()
+    >>> x = s.solve(b)
+    """
+
+    def __init__(self, a: CSC, config: SolverConfig | None = None):
+        self.config = config or SolverConfig()
+        if not a.is_lower():
+            a = a.lower_half()
+        self.a = a
+        # ---- inspector (host, once per pattern) -----------------------
+        self.perm = compute_ordering(a, self.config.ordering,
+                                     self.config.given_perm)
+        self.ap = a.permute(self.perm)
+        self.parent = etree(self.ap)
+        self.lpat, self.plan = cholesky_plan(self.ap, self.parent)
+        self.executor = SimplicialExecutor(self.plan, dtype=self.config.dtype)
+        self.lx = None
+        # scatter helpers: x[perm[r]] = xp[r]
+        self._inv = np.empty(a.n, dtype=np.int64)
+        self._inv[self.perm] = np.arange(a.n)
+
+    # ------------------------------------------------------------ numeric
+    def factorize(self, a: CSC | None = None) -> "CholeskySolver":
+        """Numeric factorization; ``a`` may carry new values on the same
+        pattern (the inspector is reused, reference contract of analyze_p2
+        once / factor many, choleskyTest01.cpp:199-277)."""
+        data = self.ap.data if a is None else a.permute(self.perm).data
+        self.lx = self.executor.factorize(data)
+        return self
+
+    def solve(self, b: np.ndarray) -> np.ndarray:
+        """x = A^{-1} b (factorize() must have run)."""
+        if self.lx is None:
+            raise RuntimeError("call factorize() first")
+        bp = np.asarray(b)[self.perm]
+        xp = self.executor.solve_spd(self.lx, bp)
+        x = np.asarray(xp)[self._inv]
+        for _ in range(self.config.refine_steps):
+            r = b - self.a.matvec(x)
+            xp = self.executor.solve_spd(self.lx, r[self.perm])
+            x = x + np.asarray(xp)[self._inv]
+        return x
+
+    # ----------------------------------------------------------- checking
+    def factor_residual(self) -> float:
+        """|| L L^T - A(p,p) ||_F / || A ||_F — the verification bar the
+        reference implements via CHOLMOD elementwise comparison
+        (choleskyTest01.cpp:529-546)."""
+        import scipy.sparse as sp
+        lx = np.asarray(self.lx, dtype=np.float64)
+        l = sp.csc_matrix((lx, self.lpat.indices, self.lpat.indptr),
+                          shape=(self.a.n, self.a.n))
+        full = self.ap.symmetrize_from_lower().to_scipy()
+        diff = (l @ l.T - full)
+        denom = sp.linalg.norm(full)
+        return float(sp.linalg.norm(diff) / denom)
+
+    def solve_residual(self, b: np.ndarray, x: np.ndarray) -> float:
+        r = b - self.a.matvec(x)
+        return float(np.linalg.norm(r) / max(np.linalg.norm(b), 1e-30))
+
+    def factor_csc(self) -> CSC:
+        """The numeric factor L (permuted ordering) as a host CSC."""
+        return CSC(self.a.n, self.lpat.indptr.astype(np.int32),
+                   self.lpat.indices.astype(np.int32),
+                   np.asarray(self.lx, dtype=np.float64))
+
+
+class TriangularSolver:
+    """Level-set parallel solver for a given lower-triangular L (general,
+    possibly non-chordal DAG — reference: triangularTest_DAG_nonChordal.cpp
+    and lsolvePar, Triangular_CSC.h:50)."""
+
+    def __init__(self, l: CSC, config: SolverConfig | None = None):
+        self.config = config or SolverConfig()
+        self.l = l
+        self.levels, self.plan = trisolve_plan(l)
+        self.executor = SimplicialExecutor(self.plan, dtype=self.config.dtype)
+        import jax.numpy as jnp
+        self._lx = jnp.asarray(l.data, dtype=self.executor.dtype)
+
+    @property
+    def nlev(self) -> int:
+        return self.plan.nlev
+
+    def solve(self, b: np.ndarray) -> np.ndarray:
+        return np.asarray(self.executor.solve_lower(self._lx, b))
+
+    def solve_transposed(self, b: np.ndarray) -> np.ndarray:
+        return np.asarray(self.executor.solve_upper(self._lx, b))

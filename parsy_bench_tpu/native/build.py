@@ -39,6 +39,9 @@ class NativeLib:
         dll.pbt_ereach_sn.argtypes = [_c64, _c64, _I64, _I32, _I32, _I32,
                                       _I64, _I32, _I32]
         dll.pbt_ereach_sn.restype = ctypes.c_int64
+        dll.pbt_dag_levels.argtypes = [_c64, _I64, _I32, _I64]
+        dll.pbt_cholesky_updates.argtypes = [_c64, _I64, _I32, _I32, _I32,
+                                             _I32]
 
     def etree(self, n, indptr, indices):
         parent = np.empty(n, dtype=np.int32)
@@ -84,6 +87,23 @@ class NativeLib:
                   marked, out, stack):
         return self._dll.pbt_ereach_sn(col1, col2, aptr, aind, col2sup,
                                        sparent, marked, out, stack)
+
+    def dag_levels(self, lptr, lind):
+        n = len(lptr) - 1
+        lev = np.zeros(n, dtype=np.int64)
+        self._dll.pbt_dag_levels(n, np.ascontiguousarray(lptr, np.int64),
+                                 np.ascontiguousarray(lind, np.int32), lev)
+        return lev
+
+    def cholesky_updates(self, lptr, lind, total):
+        n = len(lptr) - 1
+        srca = np.empty(total, dtype=np.int32)
+        srcb = np.empty(total, dtype=np.int32)
+        dst = np.empty(total, dtype=np.int32)
+        self._dll.pbt_cholesky_updates(
+            n, np.ascontiguousarray(lptr, np.int64),
+            np.ascontiguousarray(lind, np.int32), srca, srcb, dst)
+        return srca, srcb, dst
 
 
 def _source_tag() -> str:

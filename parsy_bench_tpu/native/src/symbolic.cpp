@@ -163,4 +163,59 @@ int64_t pbt_ereach_sn(int64_t col1, int64_t col2, const int64_t* aptr,
   return cnt;
 }
 
+// Longest-path level of each node in the DAG of a lower-triangular pattern
+// (edge j -> i for every off-diagonal entry i of column j).  Caller zeroes
+// lev.  Used for level-set trisolve scheduling of general (non-chordal) L.
+// (reference: triangularSolve/Inspection_Level.h:12 buildLevelSet_CSC)
+void pbt_dag_levels(int64_t n, const int64_t* lptr, const int32_t* lind,
+                    int64_t* lev) {
+  for (int64_t j = 0; j < n; ++j) {
+    int64_t lj = lev[j] + 1;
+    for (int64_t p = lptr[j]; p < lptr[j + 1]; ++p) {
+      int32_t i = lind[p];
+      if (i != j && lev[i] < lj) lev[i] = lj;
+    }
+  }
+}
+
+// Left-looking update triples for simplicial Cholesky.  For each source
+// column k with off-diagonal rows o_0 < ... < o_{m-1}, and each ordered pair
+// (jj <= ii), emit the rank-1 update  L[o_ii, o_jj] -= L[o_ii,k]*L[o_jj,k]:
+//   srca = position of (o_ii, k), srcb = position of (o_jj, k),
+//   dst  = position of (o_ii, o_jj)  in the L value array.
+// Emission is in source-column order; per-column counts are m(m+1)/2 so the
+// caller sizes the outputs from column counts and regroups by level.
+// dst exists because the factor pattern is closed (Liu).  Binary search
+// locates dst inside the target column.
+// (spec: symbolic/plan.py::_updates_numpy; reference executor analogue:
+// cholesky/sereial_Cholesky_01.h:13 cholesky_left_01's inner loop)
+void pbt_cholesky_updates(int64_t n, const int64_t* lptr, const int32_t* lind,
+                          int32_t* srca, int32_t* srcb, int32_t* dst) {
+  int64_t c = 0;
+  for (int64_t k = 0; k < n; ++k) {
+    int64_t base = lptr[k];
+    int64_t m = lptr[k + 1] - base - 1;  // off-diagonal count
+    for (int64_t jj = 0; jj < m; ++jj) {
+      int32_t j = lind[base + 1 + jj];  // target column
+      const int32_t* cb = lind + lptr[j];
+      const int32_t* ce = lind + lptr[j + 1];
+      for (int64_t ii = jj; ii < m; ++ii) {
+        int32_t i = lind[base + 1 + ii];  // target row
+        // lower_bound: pattern closure guarantees presence
+        const int32_t* it = cb;
+        int64_t len = ce - cb;
+        while (len > 1) {
+          int64_t half = len / 2;
+          if (it[half] <= i) { it += half; len -= half; }
+          else len = half;
+        }
+        srca[c] = (int32_t)(base + 1 + ii);
+        srcb[c] = (int32_t)(base + 1 + jj);
+        dst[c] = (int32_t)(lptr[j] + (it - (lind + lptr[j])));
+        ++c;
+      }
+    }
+  }
+}
+
 }  // extern "C"
