@@ -1,0 +1,75 @@
+"""Headline benchmark: sparse Cholesky factorization throughput on one chip.
+
+Protocol follows the reference (choleskyTest01.cpp:199-277): 5 timed numeric
+factorizations, median reported; symbolic/analysis runs once beforehand
+(analyze once / factor many contract).
+
+Baseline: the reference publishes no numbers (BASELINE.md), but pins a
+machine-calibrated kernel-time model (performanceModel.h:26-88, GEMM
+t = 2.429e-10 * ijk s => ~8.2 GFLOP/s per core) and a 4-thread evaluation
+protocol (scripts/eval.sh).  ``vs_baseline`` is the ratio of that modeled
+4-thread ParSy time for the same factorization flops to our measured median
+time (>1 = faster than the calibrated reference machine).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+# reference cost model: t_gemm = 2.429e-10 * ijk s for 2ijk flops
+_REF_SEC_PER_FLOP = 2.429e-10 / 2.0
+_REF_THREADS = 4  # scripts/eval.sh protocol
+_ITERS = 5
+
+
+def _warm_scatter() -> None:
+    """Compile one trivial scatter first: the TPU toolchain's first
+    scatter-containing program pays a ~65s one-time kernel-library cost;
+    warming it on a tiny program keeps the real compiles at ~10s."""
+    import jax
+    import jax.numpy as jnp
+    idx = jnp.arange(8)
+    jax.block_until_ready(
+        jax.jit(lambda v: v.at[idx].add(v[idx]))(jnp.ones(16)))
+
+
+def main() -> None:
+    import jax
+    from parsy_bench_tpu.core import generate
+    from parsy_bench_tpu.config import SolverConfig
+    from parsy_bench_tpu.models import CholeskySolver
+
+    _warm_scatter()
+    a = generate.laplace_2d(64)  # ecology-class 2D grid, n=4096
+    solver = CholeskySolver(a, SolverConfig(ordering="amd", dtype="float32"))
+
+    data = solver.ap.data.astype(np.float32)
+    solver.factorize()  # compile + warm up
+    jax.block_until_ready(solver.lx)
+
+    times = []
+    for _ in range(_ITERS):
+        t0 = time.perf_counter()
+        lx = solver.executor.factorize(data)
+        jax.block_until_ready(lx)
+        times.append(time.perf_counter() - t0)
+    median = sorted(times)[len(times) // 2]
+
+    flops = solver.plan.flops_factor
+    gflops = flops / median / 1e9
+    ref_time = flops * _REF_SEC_PER_FLOP / _REF_THREADS
+    print(json.dumps({
+        "metric": "simplicial_cholesky_factorize_gflops",
+        "value": round(gflops, 4),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(ref_time / median, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

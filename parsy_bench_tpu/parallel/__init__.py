@@ -1,0 +1,4 @@
+"""Multi-device SPMD execution layer (mesh, sharded executors)."""
+from parsy_bench_tpu.parallel.sharded import ShardedSimplicialExecutor
+
+__all__ = ["ShardedSimplicialExecutor"]
