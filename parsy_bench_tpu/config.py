@@ -42,6 +42,12 @@ class SolverConfig:
     #: height granularity of panel padding (f32 sublane tile is 8).
     height_unit: int = 8
 
+    # ---- executor tier ----
+    #: "simplicial" (scalar level-scheduled, any pattern) or "supernodal"
+    #: (blocked BCSC panels, batched MXU kernels — the performance tier,
+    #: reference cholesky_left_par_05).
+    tier: str = "simplicial"
+
     # ---- numerics ----
     #: dtype of the numeric phase ("float32" on TPU; "float64" runs on CPU).
     dtype: str = "float32"

@@ -13,9 +13,11 @@ import numpy as np
 from parsy_bench_tpu.config import SolverConfig
 from parsy_bench_tpu.core.csc import CSC
 from parsy_bench_tpu.ops.simplicial import SimplicialExecutor
-from parsy_bench_tpu.symbolic.etree import etree
+from parsy_bench_tpu.symbolic.etree import etree, postorder
+from parsy_bench_tpu.symbolic.colcounts import col_counts, symbolic_pattern
 from parsy_bench_tpu.symbolic.ordering import compute_ordering
-from parsy_bench_tpu.symbolic.plan import cholesky_plan, trisolve_plan
+from parsy_bench_tpu.symbolic.plan import (cholesky_plan, plan_from_pattern,
+                                           trisolve_plan)
 
 
 class CholeskySolver:
@@ -31,12 +33,35 @@ class CholeskySolver:
             a = a.lower_half()
         self.a = a
         # ---- inspector (host, once per pattern) -----------------------
-        self.perm = compute_ordering(a, self.config.ordering,
+        # fill-reducing ordering composed with a weighted postorder of the
+        # etree (the reference fuses the same two permutations,
+        # LSparsity.h:670-723) so supernode columns are contiguous.
+        fill_perm = compute_ordering(a, self.config.ordering,
                                      self.config.given_perm)
-        self.ap = a.permute(self.perm)
+        ap1 = a.permute(fill_perm)
+        parent1 = etree(ap1)
+        cc1 = col_counts(ap1, parent1)
+        post = postorder(parent1, weights=cc1)
+        self.perm = fill_perm[post]
+        self.ap = ap1.permute(post)
         self.parent = etree(self.ap)
-        self.lpat, self.plan = cholesky_plan(self.ap, self.parent)
-        self.executor = SimplicialExecutor(self.plan, dtype=self.config.dtype)
+        self.cc = col_counts(self.ap, self.parent)
+        self.lpat = symbolic_pattern(self.ap, self.parent)
+
+        if self.config.tier == "supernodal":
+            from parsy_bench_tpu.ops.supernodal import SupernodalExecutor
+            from parsy_bench_tpu.symbolic.splan import build_supernodal_plan
+            self.plan = build_supernodal_plan(
+                self.ap, self.parent, self.cc, self.lpat, self.config)
+            self.executor = SupernodalExecutor(self.plan,
+                                               dtype=self.config.dtype)
+        else:
+            from parsy_bench_tpu.symbolic.etree import tree_levels
+            lev = tree_levels(self.parent)
+            self.plan = plan_from_pattern(self.lpat, lev, a=self.ap,
+                                          with_updates=True)
+            self.executor = SimplicialExecutor(self.plan,
+                                               dtype=self.config.dtype)
         self.lx = None
         # scatter helpers: x[perm[r]] = xp[r]
         self._inv = np.empty(a.n, dtype=np.int64)
@@ -64,13 +89,22 @@ class CholeskySolver:
             x = x + np.asarray(xp)[self._inv]
         return x
 
+    def _l_values(self) -> np.ndarray:
+        """Simplicial-pattern L values, whichever tier produced them."""
+        if self.lx is None:
+            raise RuntimeError("call factorize() first")
+        if self.config.tier == "supernodal":
+            return np.asarray(self.executor.factor_values(self.lx),
+                              dtype=np.float64)
+        return np.asarray(self.lx, dtype=np.float64)
+
     # ----------------------------------------------------------- checking
     def factor_residual(self) -> float:
         """|| L L^T - A(p,p) ||_F / || A ||_F — the verification bar the
         reference implements via CHOLMOD elementwise comparison
         (choleskyTest01.cpp:529-546)."""
         import scipy.sparse as sp
-        lx = np.asarray(self.lx, dtype=np.float64)
+        lx = self._l_values()
         l = sp.csc_matrix((lx, self.lpat.indices, self.lpat.indptr),
                           shape=(self.a.n, self.a.n))
         full = self.ap.symmetrize_from_lower().to_scipy()
@@ -85,8 +119,7 @@ class CholeskySolver:
     def factor_csc(self) -> CSC:
         """The numeric factor L (permuted ordering) as a host CSC."""
         return CSC(self.a.n, self.lpat.indptr.astype(np.int32),
-                   self.lpat.indices.astype(np.int32),
-                   np.asarray(self.lx, dtype=np.float64))
+                   self.lpat.indices.astype(np.int32), self._l_values())
 
 
 class TriangularSolver:

@@ -1,0 +1,214 @@
+"""Supernodal (blocked) numeric executors — the performance tier.
+
+TPU-native form of the reference's supernodal kernels:
+
+* ``factorize`` — parallel left-looking supernodal Cholesky
+  (cholesky_left_par_05, parallel_PB_Cholesky_05.h:27): per wavefront
+  level, every update pair C = A @ B^T runs as one lane of a batched MXU
+  einsum (the dsyrk/dgemm pair, :160-173), the scatter-subtract (:190-197)
+  is a functional ``.at[].add``, and panel finalization is batched
+  ``jnp.linalg.cholesky`` + ``triangular_solve`` (dpotrf/dtrsm, :204-218);
+* ``solve_lower`` / ``solve_upper`` — blocked triangular solves
+  (H2LeveledBlockedLsolve, Triangular_BCSC.h:171: dense diag-block solve +
+  panel mat-vec + atomic scatter -> batched triangular_solve + einsum +
+  ``.at[].add``).
+
+Levels are executed as ``lax.scan`` segments (see splan.py); every gather /
+scatter uses precomputed padded index tables whose invalid lanes point at a
+dummy pool slot, so the scanned bodies contain no masking control flow.
+
+The panel pool invariant: padding inside every panel (columns beyond the
+logical width, rows beyond the logical height) is zero at all times, which
+lets padded lanes participate in GEMMs as harmless zeros.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parsy_bench_tpu.symbolic.splan import SupernodalPlan, SupSegment
+
+
+class SupernodalExecutor:
+    """Compiled numeric phase for one ``SupernodalPlan``."""
+
+    def __init__(self, plan: SupernodalPlan, dtype=jnp.float32):
+        self.plan = plan
+        self.dtype = jnp.dtype(dtype)
+        self._a_map = jnp.asarray(plan.layout.a_map)
+        self._l_map = jnp.asarray(plan.layout.l_map)
+        self._dummy = plan.pool_size - 1
+        # device-resident per-segment xs pytrees
+        self._seg_xs = []
+        for seg in plan.segments:
+            upd = [dict(a_start=jnp.asarray(b.a_start),
+                        rowpos=jnp.asarray(b.rowpos),
+                        colpos=jnp.asarray(b.colpos),
+                        dstbase=jnp.asarray(b.dstbase),
+                        ws=jnp.asarray(b.ws)) for b in seg.upd]
+            fin = [dict(base=jnp.asarray(b.base), w=jnp.asarray(b.w),
+                        h=jnp.asarray(b.h), cols=jnp.asarray(b.cols),
+                        rows=jnp.asarray(b.rows)) for b in seg.fin]
+            self._seg_xs.append((upd, fin))
+        self._factorize = jax.jit(self._factorize_impl)
+        self._solve_lower = jax.jit(self._solve_lower_impl)
+        self._solve_upper = jax.jit(self._solve_upper_impl)
+        self._solve_spd = jax.jit(
+            lambda pool, b: self._solve_upper_impl(
+                pool, self._solve_lower_impl(pool, b)))
+
+    # ----------------------------------------------------------- helpers
+    def _gather_panel(self, pool, base, H, Ws):
+        """(P, H, Ws) panel gather from flat pool; clamped at pool end."""
+        i = jax.lax.broadcasted_iota(jnp.int32, (1, H, Ws), 1)
+        k = jax.lax.broadcasted_iota(jnp.int32, (1, H, Ws), 2)
+        idx = base[:, None, None] + i * Ws + k
+        return pool[idx]
+
+    def _masked_diag(self, G, w, Ws):
+        """Extract the (P, Ws, Ws) diagonal block: rows/cols >= w zeroed,
+        identity on the padded diagonal, so batched cholesky /
+        triangular_solve treat padding as an independent identity block."""
+        D = G[:, :Ws, :]
+        i = jax.lax.broadcasted_iota(jnp.int32, (1, Ws, Ws), 1)
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, Ws, Ws), 2)
+        wv = w[:, None, None]
+        # keep the valid lower triangle only, then symmetrize explicitly:
+        # XLA's Cholesky computes chol((A + A^T)/2), so a lower-only input
+        # would halve the off-diagonals
+        D = jnp.where((i < wv) & (j < wv) & (j <= i), D, 0)
+        strict = jnp.where(j < i, D, 0)          # strict lower part
+        D = D + jnp.swapaxes(strict, 1, 2)       # mirror into the upper part
+        eye_pad = jnp.where((i == j) & (i >= wv),
+                            jnp.ones((), self.dtype), 0)
+        return D + eye_pad
+
+    # ------------------------------------------------------------ factor
+    def _apply_updates(self, pool, upd_xs, seg: SupSegment):
+        for b, xs in zip(seg.upd, upd_xs):
+            K, M, Q = b.K, b.M, b.Q
+            i = jax.lax.broadcasted_iota(jnp.int32, (1, M, K), 1)
+            k = jax.lax.broadcasted_iota(jnp.int32, (1, M, K), 2)
+            aidx = xs["a_start"][:, None, None] + i * K + k
+            A = pool[aidx]                       # (P, M, K)
+            B = A[:, :Q, :]                      # (P, Q, K) prefix
+            C = jnp.einsum("pmk,pqk->pmq", A, B,
+                           preferred_element_type=self.dtype)
+            rp = xs["rowpos"][:, :, None]
+            cp = xs["colpos"][:, None, :]
+            valid = (rp >= 0) & (cp >= 0)
+            dst = jnp.where(
+                valid,
+                xs["dstbase"][:, None, None] + rp * xs["ws"][:, None, None]
+                + cp,
+                self._dummy)
+            pool = pool.at[dst.reshape(-1)].add(
+                -jnp.where(valid, C, 0).reshape(-1))
+        return pool
+
+    def _finalize_panels(self, pool, fin_xs, seg: SupSegment):
+        for b, xs in zip(seg.fin, fin_xs):
+            Ws, H = b.Ws, b.H
+            G = self._gather_panel(pool, xs["base"], H, Ws)
+            D = self._masked_diag(G, xs["w"], Ws)
+            Ld = jnp.linalg.cholesky(D)
+            Y = jax.lax.linalg.triangular_solve(
+                Ld, G, left_side=False, lower=True, transpose_a=True)
+            i_h = jax.lax.broadcasted_iota(jnp.int32, (1, H, 1), 1)
+            wv = xs["w"][:, None, None]
+            hv = xs["h"][:, None, None]
+            top = jnp.where(i_h[:, :Ws, :] < wv, Ld, Y[:, :Ws, :])
+            out = jnp.concatenate([top, Y[:, Ws:, :]], axis=1)
+            k = jax.lax.broadcasted_iota(jnp.int32, (1, H, Ws), 2)
+            i = jax.lax.broadcasted_iota(jnp.int32, (1, H, Ws), 1)
+            idx = jnp.where(i < hv, xs["base"][:, None, None] + i * Ws + k,
+                            self._dummy)
+            pool = pool.at[idx.reshape(-1)].set(out.reshape(-1))
+            pool = pool.at[self._dummy].set(0)
+        return pool
+
+    def _factorize_impl(self, a_data):
+        pool = jnp.zeros(self.plan.pool_size, self.dtype)
+        pool = pool.at[self._a_map].add(a_data.astype(self.dtype))
+        for seg, (upd_xs, fin_xs) in zip(self.plan.segments, self._seg_xs):
+            def step(pool, xs, seg=seg):
+                u, f = xs
+                pool = self._apply_updates(pool, u, seg)
+                pool = self._finalize_panels(pool, f, seg)
+                return pool, None
+            pool, _ = jax.lax.scan(step, pool, (upd_xs, fin_xs))
+        return pool
+
+    def factorize(self, a_data) -> jax.Array:
+        """Numeric supernodal Cholesky: A values -> panel pool."""
+        return self._factorize(jnp.asarray(a_data))
+
+    # ------------------------------------------------------------ solves
+    def _solve_lower_impl(self, pool, b):
+        n = self.plan.n
+        x = jnp.zeros(n + 1, self.dtype)
+        bc = jnp.concatenate([b.astype(self.dtype),
+                              jnp.zeros(1, self.dtype)])
+
+        for seg, (upd_xs, fin_xs) in zip(self.plan.segments, self._seg_xs):
+            def step(carry, xs, seg=seg):
+                x, bc = carry
+                for bk, fx in zip(seg.fin, xs):
+                    Ws, H = bk.Ws, bk.H
+                    G = self._gather_panel(pool, fx["base"], H, Ws)
+                    D = self._masked_diag(G, fx["w"], Ws)
+                    bvec = bc[fx["cols"]]               # (P, Ws)
+                    xs_ = jax.lax.linalg.triangular_solve(
+                        D, bvec[..., None], left_side=True, lower=True)
+                    x = x.at[fx["cols"]].set(xs_[..., 0])
+                    y = jnp.einsum("phk,pk->ph", G, xs_[..., 0],
+                                   preferred_element_type=self.dtype)
+                    i = jax.lax.broadcasted_iota(jnp.int32, (1, H), 1)
+                    ridx = jnp.where(i >= fx["w"][:, None], fx["rows"], n)
+                    bc = bc.at[ridx].add(-y * (i >= fx["w"][:, None]))
+                    bc = bc.at[n].set(0)
+                    x = x.at[n].set(0)
+                return (x, bc), None
+            (x, bc), _ = jax.lax.scan(step, (x, bc), fin_xs)
+        return x[:n]
+
+    def _solve_upper_impl(self, pool, b):
+        n = self.plan.n
+        x = jnp.zeros(n + 1, self.dtype)
+        bp = jnp.concatenate([b.astype(self.dtype),
+                              jnp.zeros(1, self.dtype)])
+
+        for seg, (upd_xs, fin_xs) in zip(reversed(self.plan.segments),
+                                         reversed(self._seg_xs)):
+            def step(x, xs, seg=seg):
+                for bk, fx in zip(seg.fin, xs):
+                    Ws, H = bk.Ws, bk.H
+                    G = self._gather_panel(pool, fx["base"], H, Ws)
+                    D = self._masked_diag(G, fx["w"], Ws)
+                    xr = x[fx["rows"]]                  # (P, H)
+                    t = jnp.einsum("phk,ph->pk", G, xr,
+                                   preferred_element_type=self.dtype)
+                    rhs = bp[fx["cols"]] - t
+                    xs_ = jax.lax.linalg.triangular_solve(
+                        D, rhs[..., None], left_side=True, lower=True,
+                        transpose_a=True)
+                    x = x.at[fx["cols"]].set(xs_[..., 0])
+                    x = x.at[n].set(0)
+                return x, None
+            x, _ = jax.lax.scan(step, x, fin_xs, reverse=True)
+        return x[:n]
+
+    def solve_lower(self, pool, b) -> jax.Array:
+        return self._solve_lower(pool, jnp.asarray(b))
+
+    def solve_upper(self, pool, b) -> jax.Array:
+        return self._solve_upper(pool, jnp.asarray(b))
+
+    def solve_spd(self, pool, b) -> jax.Array:
+        return self._solve_spd(pool, jnp.asarray(b))
+
+    # ------------------------------------------------------------ export
+    def factor_values(self, pool) -> jax.Array:
+        """Values of the simplicial L pattern extracted from the pool."""
+        return pool[self._l_map]
