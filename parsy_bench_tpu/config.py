@@ -37,8 +37,10 @@ class SolverConfig:
     #: merge this many consecutive steps into one unrolled scan body
     #: (the TPU analogue of LBC level coarsening; 1 = plain wavefront H1).
     steps_per_superstep: int = 1
-    #: width classes for supernodal panel pools (powers of two, ascending).
-    width_classes: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    #: width classes for supernodal panel pools (ascending).  Few classes =
+    #: few compiled batch-kernel shapes; padding cost is bounded zeros in
+    #: MXU contractions.
+    width_classes: Tuple[int, ...] = (8, 32, 128)
     #: height granularity of panel padding (f32 sublane tile is 8).
     height_unit: int = 8
 

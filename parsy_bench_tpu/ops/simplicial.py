@@ -40,7 +40,8 @@ _PAD_ALPHA = 1.25
 _PAD_SLACK = 64.0
 
 
-def segment_levels(counts: np.ndarray) -> list[tuple[int, int]]:
+def segment_levels(counts: np.ndarray, alpha: float = _PAD_ALPHA,
+                   slack: float = _PAD_SLACK) -> list[tuple[int, int]]:
     """Split the level sequence into contiguous runs [(t0, t1), ...).
 
     ``counts`` is (nlev, k) per-level work sizes.  A run is closed when
@@ -60,7 +61,7 @@ def segment_levels(counts: np.ndarray) -> list[tuple[int, int]]:
             new_max = np.maximum(run_max, counts[t1])
             new_sum = run_sum + float(counts[t1].sum())
             padded = float(new_max.sum()) * (t1 - t0 + 1)
-            if padded > _PAD_ALPHA * new_sum + _PAD_SLACK * (t1 - t0 + 1):
+            if padded > alpha * new_sum + slack * (t1 - t0 + 1):
                 break
             run_max, run_sum = new_max, new_sum
             t1 += 1

@@ -38,19 +38,20 @@ class SupernodalExecutor:
         self.dtype = jnp.dtype(dtype)
         self._a_map = jnp.asarray(plan.layout.a_map)
         self._l_map = jnp.asarray(plan.layout.l_map)
-        self._dummy = plan.pool_size - 1
+        self._dummy = plan.layout.pool_size - 1
         # device-resident per-segment xs pytrees
         self._seg_xs = []
         for seg in plan.segments:
             upd = [dict(a_start=jnp.asarray(b.a_start),
-                        rowpos=jnp.asarray(b.rowpos),
-                        colpos=jnp.asarray(b.colpos),
-                        dstbase=jnp.asarray(b.dstbase),
-                        ws=jnp.asarray(b.ws)) for b in seg.upd]
+                        b_start=jnp.asarray(b.b_start)) for b in seg.upd]
+            win = dict(perm=jnp.asarray(seg.perm),
+                       wstart=jnp.asarray(seg.wstart),
+                       wend=jnp.asarray(seg.wend),
+                       lo=jnp.asarray(seg.lo))
             fin = [dict(base=jnp.asarray(b.base), w=jnp.asarray(b.w),
                         h=jnp.asarray(b.h), cols=jnp.asarray(b.cols),
                         rows=jnp.asarray(b.rows)) for b in seg.fin]
-            self._seg_xs.append((upd, fin))
+            self._seg_xs.append((upd, win, fin))
         self._factorize = jax.jit(self._factorize_impl)
         self._solve_lower = jax.jit(self._solve_lower_impl)
         self._solve_upper = jax.jit(self._solve_upper_impl)
@@ -85,27 +86,51 @@ class SupernodalExecutor:
         return D + eye_pad
 
     # ------------------------------------------------------------ factor
-    def _apply_updates(self, pool, upd_xs, seg: SupSegment):
+    def _apply_updates(self, pool, upd_xs, win_xs, seg: SupSegment):
+        """Scatter-free contribution application: batched einsums produce
+        the contribution stream, a static sort permutation + cumsum +
+        window-boundary gathers reduce it, and one dynamic-slice subtract
+        lands it on the (contiguous, level-major) target window."""
+        if seg.V == 0:
+            return pool
+        cs = []
         for b, xs in zip(seg.upd, upd_xs):
-            K, M, Q = b.K, b.M, b.Q
-            i = jax.lax.broadcasted_iota(jnp.int32, (1, M, K), 1)
-            k = jax.lax.broadcasted_iota(jnp.int32, (1, M, K), 2)
-            aidx = xs["a_start"][:, None, None] + i * K + k
-            A = pool[aidx]                       # (P, M, K)
-            B = A[:, :Q, :]                      # (P, Q, K) prefix
+            K, Mc, Q = b.K, b.Mc, b.Q
+            i = jax.lax.broadcasted_iota(jnp.int32, (1, Mc, K), 1)
+            k = jax.lax.broadcasted_iota(jnp.int32, (1, Mc, K), 2)
+            A = pool[xs["a_start"][:, None, None] + i * K + k]   # (P, Mc, K)
+            iq = jax.lax.broadcasted_iota(jnp.int32, (1, Q, K), 1)
+            kq = jax.lax.broadcasted_iota(jnp.int32, (1, Q, K), 2)
+            B = pool[xs["b_start"][:, None, None] + iq * K + kq]  # (P, Q, K)
             C = jnp.einsum("pmk,pqk->pmq", A, B,
                            preferred_element_type=self.dtype)
-            rp = xs["rowpos"][:, :, None]
-            cp = xs["colpos"][:, None, :]
-            valid = (rp >= 0) & (cp >= 0)
-            dst = jnp.where(
-                valid,
-                xs["dstbase"][:, None, None] + rp * xs["ws"][:, None, None]
-                + cp,
-                self._dummy)
-            pool = pool.at[dst.reshape(-1)].add(
-                -jnp.where(valid, C, 0).reshape(-1))
-        return pool
+            cs.append(C.reshape(-1))
+        v = jnp.concatenate(cs)                       # (V,)
+        vs = v[win_xs["perm"]]                        # sorted by destination
+        # two-level prefix: a flat cumsum's boundary differences lose
+        # eps * |global prefix| to cancellation; chunking keeps the
+        # within-chunk term small, and the inter-chunk term cancels
+        # exactly for ranges inside one chunk (the common case)
+        CH = 512
+        Vp = -(-seg.V // CH) * CH
+        vs = jnp.concatenate([vs, jnp.zeros(Vp - seg.V, self.dtype)])
+        mchunk = vs.reshape(Vp // CH, CH)
+        intra = jnp.cumsum(mchunk, axis=1)            # inclusive prefixes
+        inter = jnp.concatenate(
+            [jnp.zeros(1, self.dtype), jnp.cumsum(intra[:, -1])])
+
+        def prefix_at(i):                              # sum of vs[:i]
+            chunk, off = i // CH, i % CH
+            head = jnp.where(off > 0,
+                             intra[chunk, jnp.maximum(off - 1, 0)], 0)
+            return inter[chunk], head
+
+        e_hi, e_lo = prefix_at(win_xs["wend"])
+        b_hi, b_lo = prefix_at(win_xs["wstart"])
+        delta = (e_hi - b_hi) + (e_lo - b_lo)          # (W,)
+        lo = win_xs["lo"]
+        win = jax.lax.dynamic_slice(pool, (lo,), (seg.W,))
+        return jax.lax.dynamic_update_slice(pool, win - delta, (lo,))
 
     def _finalize_panels(self, pool, fin_xs, seg: SupSegment):
         for b, xs in zip(seg.fin, fin_xs):
@@ -131,13 +156,14 @@ class SupernodalExecutor:
     def _factorize_impl(self, a_data):
         pool = jnp.zeros(self.plan.pool_size, self.dtype)
         pool = pool.at[self._a_map].add(a_data.astype(self.dtype))
-        for seg, (upd_xs, fin_xs) in zip(self.plan.segments, self._seg_xs):
+        for seg, (upd_xs, win_xs, fin_xs) in zip(self.plan.segments,
+                                                 self._seg_xs):
             def step(pool, xs, seg=seg):
-                u, f = xs
-                pool = self._apply_updates(pool, u, seg)
+                u, wxs, f = xs
+                pool = self._apply_updates(pool, u, wxs, seg)
                 pool = self._finalize_panels(pool, f, seg)
                 return pool, None
-            pool, _ = jax.lax.scan(step, pool, (upd_xs, fin_xs))
+            pool, _ = jax.lax.scan(step, pool, (upd_xs, win_xs, fin_xs))
         return pool
 
     def factorize(self, a_data) -> jax.Array:
@@ -151,7 +177,7 @@ class SupernodalExecutor:
         bc = jnp.concatenate([b.astype(self.dtype),
                               jnp.zeros(1, self.dtype)])
 
-        for seg, (upd_xs, fin_xs) in zip(self.plan.segments, self._seg_xs):
+        for seg, (_, _, fin_xs) in zip(self.plan.segments, self._seg_xs):
             def step(carry, xs, seg=seg):
                 x, bc = carry
                 for bk, fx in zip(seg.fin, xs):
@@ -179,8 +205,8 @@ class SupernodalExecutor:
         bp = jnp.concatenate([b.astype(self.dtype),
                               jnp.zeros(1, self.dtype)])
 
-        for seg, (upd_xs, fin_xs) in zip(reversed(self.plan.segments),
-                                         reversed(self._seg_xs)):
+        for seg, (_, _, fin_xs) in zip(reversed(self.plan.segments),
+                                       reversed(self._seg_xs)):
             def step(x, xs, seg=seg):
                 for bk, fx in zip(seg.fin, xs):
                     Ws, H = bk.Ws, bk.H

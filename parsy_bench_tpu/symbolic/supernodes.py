@@ -227,12 +227,18 @@ def _width_class(w: int, classes) -> int:
 
 def build_layout(lpat: sp.csc_matrix, a: CSC, part: SupernodePartition,
                  width_classes=(8, 16, 32, 64, 128),
-                 height_unit: int = 8) -> BCSCLayout:
+                 height_unit: int = 8,
+                 panel_order: np.ndarray | None = None) -> BCSCLayout:
     """Compute the supernodal row pattern and padded pool layout.
 
     ``lpat`` is the simplicial factor pattern (from symbolic_pattern);
     supernode rows = union of its columns' patterns (reference builds the
     same Ls by row-subtree walks, Inspection_BlockC.h:684-752).
+
+    ``panel_order`` (a permutation of supernode ids) sets the order panels
+    are laid out in the pool; the scheduler passes level-major order so each
+    wavefront level's target panels form one contiguous pool window (the
+    scatter-free update trick in ops/supernodal.py).
     """
     n = lpat.shape[0]
     sptr, nsuper = part.sptr, part.nsuper
@@ -243,7 +249,6 @@ def build_layout(lpat: sp.csc_matrix, a: CSC, part: SupernodePartition,
     rptr = np.zeros(nsuper + 1, dtype=np.int64)
     wpad = np.empty(nsuper, dtype=np.int64)
     hpad = np.empty(nsuper, dtype=np.int64)
-    poff = np.zeros(nsuper + 1, dtype=np.int64)
     for s in range(nsuper):
         j1, j2 = int(sptr[s]), int(sptr[s + 1])
         # union of column patterns; first column usually contains the rest
@@ -259,9 +264,18 @@ def build_layout(lpat: sp.csc_matrix, a: CSC, part: SupernodePartition,
         w = j2 - j1
         wpad[s] = _width_class(w, width_classes)
         hpad[s] = -(-len(u) // height_unit) * height_unit
-        poff[s + 1] = poff[s] + hpad[s] * wpad[s]
     rows = (np.concatenate(rows_per_s) if rows_per_s
             else np.empty(0, dtype=IDX))
+    # pool offsets in panel_order (level-major when given)
+    order = (np.arange(nsuper) if panel_order is None
+             else np.asarray(panel_order))
+    sizes = hpad * wpad
+    poff = np.zeros(nsuper + 1, dtype=np.int64)
+    cum = 0
+    for s in order:
+        poff[s] = cum
+        cum += sizes[s]
+    poff[-1] = cum
     # one extra dummy slot absorbs padded scatter lanes
     poff_final = poff.copy()
     poff_final[-1] += 1
