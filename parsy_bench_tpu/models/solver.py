@@ -125,22 +125,40 @@ class CholeskySolver:
 class TriangularSolver:
     """Level-set parallel solver for a given lower-triangular L (general,
     possibly non-chordal DAG — reference: triangularTest_DAG_nonChordal.cpp
-    and lsolvePar, Triangular_CSC.h:50)."""
+    and lsolvePar, Triangular_CSC.h:50).
+
+    tier="simplicial": scalar level-scheduled executor (any pattern);
+    tier="supernodal": blocked BCSC panels from value-pattern supernode
+    detection (reference Inspection_Block.h:7 + Triangular_BCSC.h:171).
+    """
 
     def __init__(self, l: CSC, config: SolverConfig | None = None):
         self.config = config or SolverConfig()
         self.l = l
-        self.levels, self.plan = trisolve_plan(l)
-        self.executor = SimplicialExecutor(self.plan, dtype=self.config.dtype)
         import jax.numpy as jnp
-        self._lx = jnp.asarray(l.data, dtype=self.executor.dtype)
+        if self.config.tier == "supernodal":
+            from parsy_bench_tpu.ops.supernodal import SupernodalExecutor
+            from parsy_bench_tpu.symbolic.strisolve import build_trisolve_plan
+            self.plan = build_trisolve_plan(l, self.config)
+            self.executor = SupernodalExecutor(self.plan,
+                                               dtype=self.config.dtype)
+            pool = jnp.zeros(self.plan.pool_size, self.executor.dtype)
+            self._lx = pool.at[self.executor._a_map].add(
+                jnp.asarray(l.data, dtype=self.executor.dtype))
+        else:
+            self.levels, self.plan = trisolve_plan(l)
+            self.executor = SimplicialExecutor(self.plan,
+                                               dtype=self.config.dtype)
+            self._lx = jnp.asarray(l.data, dtype=self.executor.dtype)
 
     @property
     def nlev(self) -> int:
         return self.plan.nlev
 
     def solve(self, b: np.ndarray) -> np.ndarray:
+        """x = L^{-1} b (forward substitution, level-parallel)."""
         return np.asarray(self.executor.solve_lower(self._lx, b))
 
     def solve_transposed(self, b: np.ndarray) -> np.ndarray:
+        """x = L^{-T} b (backward substitution)."""
         return np.asarray(self.executor.solve_upper(self._lx, b))

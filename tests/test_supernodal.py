@@ -135,3 +135,51 @@ def test_coarsening_reduces_levels():
     s2 = CholeskySolver(a, SolverConfig(tier="supernodal"))
     scalar_nlev = int(tree_levels(s2.parent).max()) + 1
     assert s2.plan.nlev * 5 < scalar_nlev
+
+
+def test_supernodal_trisolve_chordal():
+    """Blocked BCSC trisolve on a real Cholesky factor (reference:
+    triangularTest02.cpp benchmark path)."""
+    from parsy_bench_tpu.core.csc import rhs_init_trisolve, check_triangular
+    from parsy_bench_tpu.models import TriangularSolver
+    a = generate.SUITE["ecology_small"]()
+    l = CholeskySolver(a, SolverConfig(dtype="float64")).factorize().factor_csc()
+    ts = TriangularSolver(l, SolverConfig(dtype="float64", tier="supernodal"))
+    x = ts.solve(rhs_init_trisolve(l))
+    assert check_triangular(x)
+    bt = l.to_scipy().T @ np.ones(l.n)
+    xt = ts.solve_transposed(bt)
+    assert np.max(np.abs(xt - 1.0)) < 1e-8
+
+
+def test_supernodal_trisolve_nonchordal():
+    """Value-pattern supernode detection + DAG levels on a non-chordal L
+    (reference: triangularTest_DAG_nonChordal.cpp)."""
+    import scipy.sparse as sp
+    from parsy_bench_tpu.core.csc import CSC, rhs_init_trisolve, check_triangular
+    from parsy_bench_tpu.models import TriangularSolver
+    rng = np.random.default_rng(3)
+    n = 400
+    m = sp.random(n, n, density=0.03, random_state=rng, format="lil")
+    m = sp.tril(m, -1).tolil()
+    m.setdiag(np.full(n, 4.0))
+    l = CSC.from_scipy(m.tocsc())
+    ts = TriangularSolver(l, SolverConfig(dtype="float64", tier="supernodal"))
+    assert ts.nlev < n
+    x = ts.solve(rhs_init_trisolve(l))
+    assert check_triangular(x)
+    xref = sp.linalg.spsolve_triangular(l.to_scipy().tocsr(),
+                                        rhs_init_trisolve(l), lower=True)
+    assert np.allclose(x, xref)
+
+
+def test_trisolve_tiers_agree():
+    from parsy_bench_tpu.core.csc import rhs_init_trisolve
+    from parsy_bench_tpu.models import TriangularSolver
+    a = generate.SUITE["bcsstk14ish"]()
+    l = CholeskySolver(a, SolverConfig(dtype="float64")).factorize().factor_csc()
+    b = rhs_init_trisolve(l)
+    x1 = TriangularSolver(l, SolverConfig(dtype="float64")).solve(b)
+    x2 = TriangularSolver(l, SolverConfig(dtype="float64",
+                                          tier="supernodal")).solve(b)
+    assert np.max(np.abs(x1 - x2)) < 1e-10
