@@ -42,11 +42,16 @@ class SupernodalExecutor:
         # device-resident per-segment xs pytrees
         self._seg_xs = []
         for seg in plan.segments:
-            upd = [dict(a_start=jnp.asarray(b.a_start),
-                        b_start=jnp.asarray(b.b_start)) for b in seg.upd]
-            win = dict(perm=jnp.asarray(seg.perm),
-                       wstart=jnp.asarray(seg.wstart),
-                       wend=jnp.asarray(seg.wend),
+            # tables are (G, T, ...); the single-device executor iterates
+            # the shard axis sequentially (G=1 for unsharded plans), the
+            # SPMD executor shard_maps over it.  Step axis must lead for
+            # lax.scan, so transpose to (T, G, ...).
+            upd = [dict(a_start=jnp.asarray(b.a_start.swapaxes(0, 1)),
+                        b_start=jnp.asarray(b.b_start.swapaxes(0, 1)))
+                   for b in seg.upd]
+            win = dict(perm=jnp.asarray(seg.perm.swapaxes(0, 1)),
+                       wstart=jnp.asarray(seg.wstart.swapaxes(0, 1)),
+                       wend=jnp.asarray(seg.wend.swapaxes(0, 1)),
                        lo=jnp.asarray(seg.lo))
             fin = [dict(base=jnp.asarray(b.base), w=jnp.asarray(b.w),
                         h=jnp.asarray(b.h), cols=jnp.asarray(b.cols),
@@ -93,20 +98,34 @@ class SupernodalExecutor:
         lands it on the (contiguous, level-major) target window."""
         if seg.V == 0:
             return pool
+        nshards = seg.perm.shape[0]
+        lo = win_xs["lo"]
+        delta = jnp.zeros(seg.W, self.dtype)
+        for g in range(nshards):
+            delta = delta + self._shard_delta(pool, upd_xs, win_xs, seg, g)
+        win = jax.lax.dynamic_slice(pool, (lo,), (seg.W,))
+        return jax.lax.dynamic_update_slice(pool, win - delta, (lo,))
+
+    def _shard_delta(self, pool, upd_xs, win_xs, seg: SupSegment, g: int,
+                     axis_name: str | None = None):
+        """One shard's window-delta: batched einsums -> sorted stream ->
+        two-level prefix -> boundary gathers.  ``g`` indexes the shard
+        tables; inside shard_map the leading axis is already split and
+        g = 0."""
         cs = []
         for b, xs in zip(seg.upd, upd_xs):
             K, Mc, Q = b.K, b.Mc, b.Q
             i = jax.lax.broadcasted_iota(jnp.int32, (1, Mc, K), 1)
             k = jax.lax.broadcasted_iota(jnp.int32, (1, Mc, K), 2)
-            A = pool[xs["a_start"][:, None, None] + i * K + k]   # (P, Mc, K)
+            A = pool[xs["a_start"][g][:, None, None] + i * K + k]
             iq = jax.lax.broadcasted_iota(jnp.int32, (1, Q, K), 1)
             kq = jax.lax.broadcasted_iota(jnp.int32, (1, Q, K), 2)
-            B = pool[xs["b_start"][:, None, None] + iq * K + kq]  # (P, Q, K)
+            B = pool[xs["b_start"][g][:, None, None] + iq * K + kq]
             C = jnp.einsum("pmk,pqk->pmq", A, B,
                            preferred_element_type=self.dtype)
             cs.append(C.reshape(-1))
         v = jnp.concatenate(cs)                       # (V,)
-        vs = v[win_xs["perm"]]                        # sorted by destination
+        vs = v[win_xs["perm"][g]]                     # sorted by destination
         # two-level prefix: a flat cumsum's boundary differences lose
         # eps * |global prefix| to cancellation; chunking keeps the
         # within-chunk term small, and the inter-chunk term cancels
@@ -125,12 +144,9 @@ class SupernodalExecutor:
                              intra[chunk, jnp.maximum(off - 1, 0)], 0)
             return inter[chunk], head
 
-        e_hi, e_lo = prefix_at(win_xs["wend"])
-        b_hi, b_lo = prefix_at(win_xs["wstart"])
-        delta = (e_hi - b_hi) + (e_lo - b_lo)          # (W,)
-        lo = win_xs["lo"]
-        win = jax.lax.dynamic_slice(pool, (lo,), (seg.W,))
-        return jax.lax.dynamic_update_slice(pool, win - delta, (lo,))
+        e_hi, e_lo = prefix_at(win_xs["wend"][g])
+        b_hi, b_lo = prefix_at(win_xs["wstart"][g])
+        return (e_hi - b_hi) + (e_lo - b_lo)           # (W,)
 
     def _finalize_panels(self, pool, fin_xs, seg: SupSegment):
         for b, xs in zip(seg.fin, fin_xs):

@@ -1,4 +1,5 @@
 """Multi-device SPMD execution layer (mesh, sharded executors)."""
-from parsy_bench_tpu.parallel.sharded import ShardedSimplicialExecutor
+from parsy_bench_tpu.parallel.sharded import (
+    ShardedSimplicialExecutor, ShardedSupernodalExecutor)
 
-__all__ = ["ShardedSimplicialExecutor"]
+__all__ = ["ShardedSimplicialExecutor", "ShardedSupernodalExecutor"]

@@ -75,12 +75,13 @@ def _chunk_sizes(m: int) -> list[int]:
 @dataclasses.dataclass
 class UpdBucket:
     """Padded batch of update chunks with identical tile classes for one
-    segment.  Arrays lead with the step axis (T steps, P chunks/step)."""
+    segment.  Arrays lead with (shard, step) axes (G shards, T steps,
+    P chunks/step/shard); G=1 when unsharded."""
     K: int               # stored width class of the source panel (= stride)
     Mc: int              # chunk row count
     Q: int               # padded overlap width (<= 128)
-    a_start: np.ndarray  # (T, P) int32 pool index of the chunk's first row
-    b_start: np.ndarray  # (T, P) int32 pool index of the pair's B block
+    a_start: np.ndarray  # (G, T, P) int32 pool index of the chunk's 1st row
+    b_start: np.ndarray  # (G, T, P) int32 pool index of the pair's B block
 
 
 @dataclasses.dataclass
@@ -100,11 +101,11 @@ class SupSegment:
     nsteps: int
     upd: list[UpdBucket]
     fin: list[FinBucket]
-    V: int               # contribution-stream length per step
+    V: int               # contribution-stream length per step per shard
     W: int               # padded level-window length
-    perm: np.ndarray     # (T, V) int32 sort-by-destination permutation
-    wstart: np.ndarray   # (T, W) int32 cumsum range start per window slot
-    wend: np.ndarray     # (T, W) int32 cumsum range end per window slot
+    perm: np.ndarray     # (G, T, V) int32 sort-by-destination permutation
+    wstart: np.ndarray   # (G, T, W) int32 cumsum range start per window slot
+    wend: np.ndarray     # (G, T, W) int32 cumsum range end per window slot
     lo: np.ndarray       # (T,) int32 pool offset of the level window
 
 
@@ -267,58 +268,71 @@ def build_supernodal_plan(a: CSC, parent: np.ndarray, cc: np.ndarray,
                                        and a_[2] <= b_[2]),
             volume=lambda key, cnt: cnt * key[1] * (key[0] + key[2]))
 
+        # round-robin chunk assignment to G shards (the reference's
+        # w-partition owner axis, SURVEY P2; G=1 unsharded)
+        G = max(1, int(config.num_partitions))
+        sharded: dict[tuple, list[list[list[tuple]]]] = {
+            key: [[[] for _ in range(T)] for _ in range(G)]
+            for key in buckets}
+        for key, steps in buckets.items():
+            for t, sl in enumerate(steps):
+                for kk, entry in enumerate(sl):
+                    sharded[key][kk % G][t].append(entry)
+
         upd_buckets = []
         bkeys = sorted(buckets)
-        # assemble per-bucket tables + per-step dst stream
-        V = sum(max(len(sl) for sl in buckets[k]) * k[1] * k[2]
-                for k in bkeys)
-        dsts = np.full((T, V), _PAD_DST, dtype=np.int64)
+        widths = {}
         for key in bkeys:
             K, Mc, Q = key
-            steps = buckets[key]
-            P = max(len(sl) for sl in steps)
-            a_start = np.zeros((T, P), dtype=np.int32)
-            b_start = np.zeros((T, P), dtype=np.int32)
-            for t, sl in enumerate(steps):
-                for kk, (astart, bstart, dstblk) in enumerate(sl):
-                    a_start[t, kk] = astart
-                    b_start[t, kk] = bstart
+            P = max(len(sl) for g in sharded[key] for sl in g)
+            P = max(P, 1)
+            widths[key] = P
+            a_start = np.zeros((G, T, P), dtype=np.int32)
+            b_start = np.zeros((G, T, P), dtype=np.int32)
+            for g in range(G):
+                for t, sl in enumerate(sharded[key][g]):
+                    for kk, (astart, bstart, _) in enumerate(sl):
+                        a_start[g, t, kk] = astart
+                        b_start[g, t, kk] = bstart
             upd_buckets.append(UpdBucket(K=K, Mc=Mc, Q=Q, a_start=a_start,
                                          b_start=b_start))
-        # dst stream layout must match executor concat order:
-        # for each bucket (sorted), C.reshape(T, P*Mc*Q)
+        # per-shard dst stream in executor concat order:
+        # for each bucket (sorted), C.reshape(P*Mc*Q)
+        V = sum(widths[k] * k[1] * k[2] for k in bkeys)
+        dsts = np.full((G, T, V), _PAD_DST, dtype=np.int64)
         off = 0
         for key in bkeys:
             K, Mc, Q = key
-            steps = buckets[key]
-            P = max(len(sl) for sl in steps)
-            width = P * Mc * Q
-            for t, sl in enumerate(steps):
-                for kk, (_, _, dstblk) in enumerate(sl):
-                    base = off + kk * Mc * Q
-                    if dstblk.shape != (Mc, Q):   # merged from a smaller Q
-                        padded = np.full((Mc, Q), _PAD_DST, dtype=np.int64)
-                        padded[:, :dstblk.shape[1]] = dstblk
-                        dstblk = padded
-                    dsts[t, base:base + Mc * Q] = dstblk.reshape(-1)
+            width = widths[key] * Mc * Q
+            for g in range(G):
+                for t, sl in enumerate(sharded[key][g]):
+                    for kk, (_, _, dstblk) in enumerate(sl):
+                        base = off + kk * Mc * Q
+                        if dstblk.shape != (Mc, Q):  # merged, smaller Q
+                            padded = np.full((Mc, Q), _PAD_DST,
+                                             dtype=np.int64)
+                            padded[:, :dstblk.shape[1]] = dstblk
+                            dstblk = padded
+                        dsts[g, t, base:base + Mc * Q] = dstblk.reshape(-1)
             off += width
         assert off == V
 
         # sort-by-destination permutation and window boundary tables
         Wn = int(max((whi[t] - wlo[t] for t in range(t0, t1)), default=0))
         max_W = max(max_W, Wn)
-        perm = np.zeros((T, V), dtype=np.int32)
-        wstart = np.zeros((T, Wn), dtype=np.int32)
-        wend = np.zeros((T, Wn), dtype=np.int32)
+        perm = np.zeros((G, T, V), dtype=np.int32)
+        wstart = np.zeros((G, T, Wn), dtype=np.int32)
+        wend = np.zeros((G, T, Wn), dtype=np.int32)
         lo = np.zeros(T, dtype=np.int32)
         for t in range(T):
-            order = np.argsort(dsts[t], kind="stable")
-            perm[t] = order.astype(np.int32)
-            sd = dsts[t, order]
             lo[t] = wlo[t0 + t]
             span = np.arange(wlo[t0 + t], wlo[t0 + t] + Wn, dtype=np.int64)
-            wstart[t] = np.searchsorted(sd, span, side="left")
-            wend[t] = np.searchsorted(sd, span, side="right")
+            for g in range(G):
+                order = np.argsort(dsts[g, t], kind="stable")
+                perm[g, t] = order.astype(np.int32)
+                sd = dsts[g, t, order]
+                wstart[g, t] = np.searchsorted(sd, span, side="left")
+                wend[g, t] = np.searchsorted(sd, span, side="right")
         # ---- finalize buckets: key (Ws, H) --------------------------
         fbuckets: dict[tuple[int, int], list[list[int]]] = {}
         for t in range(t0, t1):

@@ -137,9 +137,9 @@ def build_trisolve_plan(l: CSC, config: SolverConfig | None = None
                                          cols=colsar, rows=rowsar))
         segments.append(SupSegment(
             nsteps=T, upd=[], fin=fin_buckets, V=0, W=0,
-            perm=np.zeros((T, 0), dtype=np.int32),
-            wstart=np.zeros((T, 0), dtype=np.int32),
-            wend=np.zeros((T, 0), dtype=np.int32),
+            perm=np.zeros((1, T, 0), dtype=np.int32),
+            wstart=np.zeros((1, T, 0), dtype=np.int32),
+            wend=np.zeros((1, T, 0), dtype=np.int32),
             lo=np.zeros(T, dtype=np.int32)))
 
     nnz_flops = float(n) + 2.0 * float(l.nnz - n)
