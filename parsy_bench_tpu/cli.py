@@ -1,0 +1,150 @@
+"""Benchmark CLI drivers — the reference's examples/ equivalents.
+
+``python -m parsy_bench_tpu.cli cholesky gen:laplace3d:20`` plays the role
+of choleskyTest01 (examples/choleskyTest01.cpp): read/generate -> analyze
+-> 5 timed numeric factorizations -> median + verification, printed as one
+structured JSON line (the reference prints a CSV-ish line, SURVEY §5.5).
+``trisolve`` mirrors triangularTest02.cpp: factor once, then benchmark the
+blocked triangular solve on the real factor, verified with the b = L*1
+all-ones check (common/Util.h:261-306).
+
+Matrix specs: a MatrixMarket path, or ``gen:<kind>:<size>`` with kinds
+laplace2d / laplace3d / femgrid (SuiteSparse structural stand-ins,
+core/generate.py).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def load_matrix(spec: str):
+    from parsy_bench_tpu.core import generate, io
+    if spec.startswith("gen:"):
+        _, kind, size = spec.split(":")
+        n = int(size)
+        if kind == "laplace2d":
+            return generate.laplace_2d(n)
+        if kind == "laplace3d":
+            return generate.laplace_3d(n)
+        if kind == "femgrid":
+            return generate.fem_grid(n, n, dof=3, seed=0)
+        raise SystemExit(f"unknown generator {kind}")
+    return io.read_matrix_market(spec)
+
+
+def _warm_scatter():
+    import jax
+    import jax.numpy as jnp
+    idx = jnp.arange(8)
+    jax.block_until_ready(
+        jax.jit(lambda v: v.at[idx].add(v[idx]))(jnp.ones(16)))
+
+
+def cmd_cholesky(args) -> None:
+    import jax
+    from parsy_bench_tpu.config import SolverConfig
+    from parsy_bench_tpu.models import CholeskySolver
+
+    a = load_matrix(args.matrix)
+    cfg = SolverConfig(ordering=args.ordering, dtype=args.dtype,
+                       tier=args.tier)
+    _warm_scatter()
+    t0 = time.perf_counter()
+    s = CholeskySolver(a, cfg)
+    analyze_s = time.perf_counter() - t0
+    data = s.ap.data.astype(np.float32 if args.dtype == "float32"
+                            else np.float64)
+    s.factorize()
+    jax.block_until_ready(s.lx)
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        lx = s.executor.factorize(data)
+        jax.block_until_ready(lx)
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[len(times) // 2]
+    out = {
+        "driver": "cholesky",
+        "matrix": args.matrix,
+        "n": a.n, "nnz_a": a.nnz,
+        "tier": args.tier, "ordering": args.ordering, "dtype": args.dtype,
+        "analyze_s": round(analyze_s, 4),
+        "factorize_median_s": round(med, 6),
+        "iters": args.iters,
+    }
+    if args.tier == "supernodal":
+        from parsy_bench_tpu.utils.perfmodel import factorize_cost
+        out["gflops"] = round(s.plan.flops / med / 1e9, 3)
+        out["nlev"] = s.plan.nlev
+        out["nsuper"] = s.plan.layout.part.nsuper
+        if args.profile:
+            rep = factorize_cost(s.plan)
+            out["model"] = rep.summary()
+    if args.verify:
+        out["factor_residual"] = float(s.factor_residual())
+        b = a.spd_rhs_for_ones()
+        x = s.solve(b)
+        out["solve_residual"] = float(s.solve_residual(b, x))
+    print(json.dumps(out))
+
+
+def cmd_trisolve(args) -> None:
+    import jax
+    import jax.numpy as jnp
+    from parsy_bench_tpu.config import SolverConfig
+    from parsy_bench_tpu.core.csc import rhs_init_trisolve, check_triangular
+    from parsy_bench_tpu.models import CholeskySolver, TriangularSolver
+
+    a = load_matrix(args.matrix)
+    _warm_scatter()
+    l = CholeskySolver(a, SolverConfig(
+        ordering=args.ordering, dtype="float64", tier="simplicial")
+    ).factorize().factor_csc()
+    t0 = time.perf_counter()
+    ts = TriangularSolver(l, SolverConfig(dtype=args.dtype, tier=args.tier))
+    analyze_s = time.perf_counter() - t0
+    b = rhs_init_trisolve(l)
+    x = ts.solve(b)   # compile + warm
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        y = ts.executor.solve_lower(ts._lx, jnp.asarray(b))
+        jax.block_until_ready(y)
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[len(times) // 2]
+    print(json.dumps({
+        "driver": "trisolve",
+        "matrix": args.matrix, "n": l.n, "nnz_l": l.nnz,
+        "tier": args.tier, "dtype": args.dtype,
+        "analyze_s": round(analyze_s, 4),
+        "solve_median_s": round(med, 6),
+        "nnz_per_s": round(2 * l.nnz / med, 1),
+        "nlev": int(ts.nlev),
+        "verified": bool(check_triangular(x)),
+    }))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="parsy_bench_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in [("cholesky", cmd_cholesky), ("trisolve", cmd_trisolve)]:
+        q = sub.add_parser(name)
+        q.add_argument("matrix")
+        q.add_argument("--ordering", default="amd")
+        q.add_argument("--tier", default="supernodal",
+                       choices=["simplicial", "supernodal"])
+        q.add_argument("--dtype", default="float32")
+        q.add_argument("--iters", type=int, default=5)
+        q.add_argument("--verify", action="store_true")
+        q.add_argument("--profile", action="store_true")
+        q.set_defaults(fn=fn)
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
