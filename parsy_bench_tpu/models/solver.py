@@ -162,3 +162,50 @@ class TriangularSolver:
     def solve_transposed(self, b: np.ndarray) -> np.ndarray:
         """x = L^{-T} b (backward substitution)."""
         return np.asarray(self.executor.solve_upper(self._lx, b))
+
+    def pruned(self, rhs_rows: np.ndarray) -> "PrunedTriangularSolve":
+        """Sparse-RHS solver restricted to the reach set of ``rhs_rows``
+        (reference: reach + lsolve_reach_dec, common/Reach.h:14 and
+        Triangular_CSC.h:225 — SURVEY P4).  The reach is computed once per
+        RHS pattern; the returned object solves many numeric RHS with that
+        pattern, touching only the active columns."""
+        return PrunedTriangularSolve(self.l, np.asarray(rhs_rows),
+                                     self.config)
+
+
+class PrunedTriangularSolve:
+    """Level-scheduled solve on the reach-restricted submatrix."""
+
+    def __init__(self, l: CSC, rhs_rows: np.ndarray,
+                 config: SolverConfig | None = None):
+        import scipy.sparse as sp
+        from parsy_bench_tpu.symbolic.reach import reach
+        from parsy_bench_tpu.symbolic.plan import (dag_levels,
+                                                   plan_from_pattern)
+        self.config = config or SolverConfig()
+        lpat = sp.csc_matrix(
+            (np.ones(l.nnz, dtype=np.int8), l.indices, l.indptr),
+            shape=(l.n, l.n))
+        self.reach = reach(lpat, rhs_rows)
+        self.n = l.n
+        sub = l.to_scipy()[np.ix_(self.reach, self.reach)].tocsc()
+        sub.sort_indices()
+        lev = dag_levels(sp.csc_matrix(
+            (np.ones(sub.nnz, dtype=np.int8), sub.indices, sub.indptr),
+            shape=sub.shape))
+        self.plan = plan_from_pattern(
+            sp.csc_matrix((np.ones(sub.nnz, dtype=np.int8), sub.indices,
+                           sub.indptr), shape=sub.shape),
+            lev, a=None, with_updates=False)
+        self.executor = SimplicialExecutor(self.plan,
+                                           dtype=self.config.dtype)
+        import jax.numpy as jnp
+        self._lx = jnp.asarray(sub.data, dtype=self.executor.dtype)
+
+    def solve(self, b: np.ndarray) -> np.ndarray:
+        """x = L^{-1} b where b is nonzero only on the RHS pattern; work is
+        proportional to the reach set, not n."""
+        xr = np.asarray(self.executor.solve_lower(self._lx, b[self.reach]))
+        x = np.zeros(self.n, dtype=xr.dtype)
+        x[self.reach] = xr
+        return x

@@ -116,3 +116,20 @@ def test_float32_runs_on_default_backend():
     b = a.spd_rhs_for_ones()
     x = s.solve(b)
     assert s.solve_residual(b, x) < 1e-3
+
+
+def test_pruned_sparse_rhs_solve():
+    """Reach-restricted solve touches only the active columns (reference:
+    lsolve_reach_dec, Triangular_CSC.h:225; SURVEY P4)."""
+    from parsy_bench_tpu.models import CholeskySolver, TriangularSolver
+    a = generate.SUITE["ecology_small"]()
+    l = CholeskySolver(a, SolverConfig(dtype="float64")).factorize().factor_csc()
+    ts = TriangularSolver(l, SolverConfig(dtype="float64"))
+    rows = np.array([5, 700, 2000])
+    ps = ts.pruned(rows)
+    assert len(ps.reach) < l.n // 4
+    b = np.zeros(l.n)
+    b[rows] = [1.0, -2.0, 0.5]
+    x = ps.solve(b)
+    xref = sp.linalg.spsolve_triangular(l.to_scipy().tocsr(), b, lower=True)
+    assert np.max(np.abs(x - xref)) < 1e-12
