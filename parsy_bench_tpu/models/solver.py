@@ -116,10 +116,30 @@ class CholeskySolver:
         r = b - self.a.matvec(x)
         return float(np.linalg.norm(r) / max(np.linalg.norm(b), 1e-30))
 
+    def factor_ok(self) -> bool:
+        """SPD failure detection: the reference aborts when dpotrf reports
+        a non-positive pivot (parallel_PB_Cholesky_05.h:206-207); here a
+        failed pivot surfaces as NaN in the factor values."""
+        if self.lx is None:
+            raise RuntimeError("call factorize() first")
+        return bool(np.all(np.isfinite(self._l_values())))
+
     def factor_csc(self) -> CSC:
         """The numeric factor L (permuted ordering) as a host CSC."""
         return CSC(self.a.n, self.lpat.indptr.astype(np.int32),
                    self.lpat.indices.astype(np.int32), self._l_values())
+
+    # ------------------------------------------------- analysis caching
+    def save_analysis(self, path: str) -> None:
+        """Serialize the inspector output (permutation + plan) — the
+        checkpointable symbolic artifact (SURVEY §5.4; the reference's
+        cacheable-ordering contract, common/Util.h:187)."""
+        from parsy_bench_tpu.core.io import save_artifact
+        save_artifact(path, {"perm": self.perm, "plan": self.plan,
+                             "lpat": self.lpat, "parent": self.parent,
+                             "cc": self.cc},
+                      meta={"n": self.a.n, "nnz": self.a.nnz,
+                            "tier": self.config.tier})
 
 
 class TriangularSolver:

@@ -254,3 +254,38 @@ class SupernodalExecutor:
     def factor_values(self, pool) -> jax.Array:
         """Values of the simplicial L pattern extracted from the pool."""
         return pool[self._l_map]
+
+    # --------------------------------------------------------- profiling
+    def profile_segments(self, a_data, iters: int = 3) -> list[dict]:
+        """Per-segment wall times (reference: the instrumented executors
+        behind TIMING/ANALYZE_THEORY, Cholesky_Perf_Modeling.h:29).  Each
+        segment is jitted separately with the pool as carry, so times
+        include its scan but not other segments."""
+        import time
+        pool = jnp.zeros(self.plan.pool_size, self.dtype)
+        pool = pool.at[self._a_map].add(
+            jnp.asarray(a_data).astype(self.dtype))
+        out = []
+        for i, (seg, xs3) in enumerate(zip(self.plan.segments,
+                                           self._seg_xs)):
+            def run(pool, seg=seg, xs3=xs3):
+                def step(pool, xs):
+                    u, wxs, f = xs
+                    pool = self._apply_updates(pool, u, wxs, seg)
+                    pool = self._finalize_panels(pool, f, seg)
+                    return pool, None
+                return jax.lax.scan(step, pool, xs3)[0]
+            jrun = jax.jit(run)
+            pool2 = jax.block_until_ready(jrun(pool))
+            times = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                jax.block_until_ready(jrun(pool))
+                times.append(time.perf_counter() - t0)
+            out.append({"segment": i, "steps": seg.nsteps,
+                        "stream": seg.V, "window": seg.W,
+                        "upd_buckets": len(seg.upd),
+                        "fin_buckets": len(seg.fin),
+                        "median_s": sorted(times)[len(times) // 2]})
+            pool = pool2
+        return out
