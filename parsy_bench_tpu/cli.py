@@ -1,4 +1,4 @@
-"""Benchmark CLI drivers — the reference's examples/ equivalents.
+"""Benchmark CLI drivers — the reference's examples/ + libExample/ equivalents.
 
 ``python -m parsy_bench_tpu.cli cholesky gen:laplace3d:20`` plays the role
 of choleskyTest01 (examples/choleskyTest01.cpp): read/generate -> analyze
@@ -6,7 +6,13 @@ of choleskyTest01 (examples/choleskyTest01.cpp): read/generate -> analyze
 structured JSON line (the reference prints a CSV-ish line, SURVEY §5.5).
 ``trisolve`` mirrors triangularTest02.cpp: factor once, then benchmark the
 blocked triangular solve on the real factor, verified with the b = L*1
-all-ones check (common/Util.h:261-306).
+all-ones check (common/Util.h:261-306).  ``trisolve --lower`` treats the
+input matrix itself as a general (possibly non-chordal) lower-triangular L
+— the triangularTest_DAG_nonChordal.cpp driver.  ``baseline`` benchmarks
+the competitor libraries available in this stack (scipy SuperLU for the
+factorization, scipy's native triangular solve) the way libExample/
+benchmarks MKL PARDISO / mkl_sparse_d_trsv.  ``lowerhalf`` is
+MakingLowerHalf.cpp.
 
 Matrix specs: a MatrixMarket path, or ``gen:<kind>:<size>`` with kinds
 laplace2d / laplace3d / femgrid (SuiteSparse structural stand-ins,
@@ -50,8 +56,12 @@ def cmd_cholesky(args) -> None:
     from parsy_bench_tpu.models import CholeskySolver
 
     a = load_matrix(args.matrix)
-    cfg = SolverConfig(ordering=args.ordering, dtype=args.dtype,
-                       tier=args.tier)
+    ordering, given = args.ordering, None
+    if args.ordering_file:
+        from parsy_bench_tpu.core.io import read_ordering
+        ordering, given = "given", read_ordering(args.ordering_file, a.n)
+    cfg = SolverConfig(ordering=ordering, given_perm=given,
+                       dtype=args.dtype, tier=args.tier)
     _warm_scatter()
     t0 = time.perf_counter()
     s = CholeskySolver(a, cfg)
@@ -101,9 +111,16 @@ def cmd_trisolve(args) -> None:
 
     a = load_matrix(args.matrix)
     _warm_scatter()
-    l = CholeskySolver(a, SolverConfig(
-        ordering=args.ordering, dtype="float64", tier="simplicial")
-    ).factorize().factor_csc()
+    if getattr(args, "lower", False):
+        # the input IS the (general, possibly non-chordal) lower factor —
+        # reference triangularTest_DAG_nonChordal.cpp:40
+        l = a if a.is_lower() else a.lower_half()
+        if np.any(l.to_scipy().diagonal() == 0):
+            raise SystemExit("lower-triangular input needs a full diagonal")
+    else:
+        l = CholeskySolver(a, SolverConfig(
+            ordering=args.ordering, dtype="float64", tier="simplicial")
+        ).factorize().factor_csc()
     t0 = time.perf_counter()
     ts = TriangularSolver(l, SolverConfig(dtype=args.dtype, tier=args.tier))
     analyze_s = time.perf_counter() - t0
@@ -128,6 +145,57 @@ def cmd_trisolve(args) -> None:
     }))
 
 
+def cmd_baseline(args) -> None:
+    """Competitor-library benchmark — the libExample/ role (cholesky_mkl.cpp,
+    triangular_MKL_Chol.cpp) with the libraries available in this stack:
+    scipy SuperLU (``splu``) as the direct-solver baseline and scipy's
+    compiled triangular solve as the trsv baseline.  Same protocol: analyze
+    once, N timed numeric runs, median."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    a = load_matrix(args.matrix)
+    full = a.symmetrize_from_lower().to_scipy().tocsc()
+    out = {"driver": "baseline", "matrix": args.matrix,
+           "n": a.n, "nnz_a": a.nnz, "iters": args.iters}
+
+    lu = spla.splu(full)  # warm (symbolic + numeric)
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        lu = spla.splu(full)
+        times.append(time.perf_counter() - t0)
+    out["splu_factorize_median_s"] = round(sorted(times)[len(times) // 2], 6)
+    b = a.spd_rhs_for_ones()
+    x = lu.solve(b)
+    out["splu_residual"] = float(np.linalg.norm(full @ x - b)
+                                 / np.linalg.norm(b))
+
+    ltri = sp.tril(full, 0).tocsr()
+    bl = np.asarray(ltri @ np.ones(a.n))
+    spla.spsolve_triangular(ltri, bl, lower=True)  # warm
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        xt = spla.spsolve_triangular(ltri, bl, lower=True)
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[len(times) // 2]
+    out["trsv_median_s"] = round(med, 6)
+    out["trsv_nnz_per_s"] = round(2 * ltri.nnz / med, 1)
+    out["trsv_verified"] = bool(np.all(np.abs(1.0 - xt) < 1e-3))
+    print(json.dumps(out))
+
+
+def cmd_lowerhalf(args) -> None:
+    """Full symmetric MatrixMarket -> lower-half MatrixMarket (reference:
+    examples/MakingLowerHalf.cpp:9)."""
+    from parsy_bench_tpu.core import io
+    a = load_matrix(args.matrix)
+    io.write_matrix_market(args.out, a if a.is_lower() else a.lower_half())
+    print(json.dumps({"driver": "lowerhalf", "matrix": args.matrix,
+                      "out": args.out, "n": a.n, "nnz_lower": a.nnz}))
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="parsy_bench_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -135,13 +203,28 @@ def main(argv=None) -> None:
         q = sub.add_parser(name)
         q.add_argument("matrix")
         q.add_argument("--ordering", default="amd")
+        q.add_argument("--ordering-file", default=None,
+                       help="PaStiX-format permutation file (reference: "
+                            "choleskyTest01.cpp:81, common/Util.h:187)")
         q.add_argument("--tier", default="supernodal",
                        choices=["simplicial", "supernodal"])
         q.add_argument("--dtype", default="float32")
         q.add_argument("--iters", type=int, default=5)
         q.add_argument("--verify", action="store_true")
         q.add_argument("--profile", action="store_true")
+        if name == "trisolve":
+            q.add_argument("--lower", action="store_true",
+                           help="input matrix IS the lower-triangular L "
+                                "(general non-chordal DAG path)")
         q.set_defaults(fn=fn)
+    q = sub.add_parser("baseline")
+    q.add_argument("matrix")
+    q.add_argument("--iters", type=int, default=5)
+    q.set_defaults(fn=cmd_baseline)
+    q = sub.add_parser("lowerhalf")
+    q.add_argument("matrix")
+    q.add_argument("out")
+    q.set_defaults(fn=cmd_lowerhalf)
     args = p.parse_args(argv)
     args.fn(args)
 
