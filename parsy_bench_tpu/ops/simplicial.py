@@ -136,18 +136,24 @@ class SimplicialExecutor:
                     _pad_stack(p.upd_dst, p.upd_off, t0, t1, uw, nnz)),
             ))
         self._a_map = jnp.asarray(p.a_map)
+        # index tables are jit ARGUMENTS, not closures, so they lower as
+        # parameters instead of embedded constants (compile-time guard)
+        self._seg_args = [(sg.cols, sg.diag, sg.off_idx, sg.off_row,
+                           sg.off_lcol, sg.upd_a, sg.upd_b, sg.upd_dst)
+                          for sg in self._segs]
         self._factorize = jax.jit(self._factorize_impl)
         self._solve_lower = jax.jit(self._solve_lower_impl)
         self._solve_upper = jax.jit(self._solve_upper_impl)
         self._solve_spd = jax.jit(
-            lambda lx, b: self._solve_upper_impl(lx, self._solve_lower_impl(lx, b)))
+            lambda lx, b, seg_args: self._solve_upper_impl(
+                lx, self._solve_lower_impl(lx, b, seg_args), seg_args))
 
     @property
     def num_segments(self) -> int:
         return len(self._segs)
 
     # ------------------------------------------------------------- factor
-    def _factorize_impl(self, a_data):
+    def _factorize_impl(self, a_data, seg_args):
         p = self.plan
         # one dummy slot at position nnz absorbs all padded reads/writes
         lx = jnp.zeros(p.nnz + 1, self.dtype)
@@ -163,19 +169,17 @@ class SimplicialExecutor:
             lx = lx.at[udst].add(-upd)
             return lx.at[p.nnz].set(0), None
 
-        for sg in self._segs:
+        for (cols, diag, oidx, orow, olcol, ua, ub, udst) in seg_args:
             lx, _ = jax.lax.scan(
-                step, lx,
-                (sg.diag, sg.off_idx, sg.off_lcol,
-                 sg.upd_a, sg.upd_b, sg.upd_dst))
+                step, lx, (diag, oidx, olcol, ua, ub, udst))
         return lx[:p.nnz]
 
     def factorize(self, a_data) -> jax.Array:
         """Numeric Cholesky: A (data in the plan's CSC order) -> L values."""
-        return self._factorize(jnp.asarray(a_data))
+        return self._factorize(jnp.asarray(a_data), self._seg_args)
 
     # ------------------------------------------------------------- solves
-    def _solve_lower_impl(self, lx, b):
+    def _solve_lower_impl(self, lx, b, seg_args):
         p = self.plan
         lxp = jnp.concatenate([lx.astype(self.dtype),
                                jnp.zeros(1, self.dtype)])
@@ -191,13 +195,12 @@ class SimplicialExecutor:
             bc = bc.at[orow].add(-contrib)
             return (x.at[p.n].set(0), bc.at[p.n].set(0)), None
 
-        for sg in self._segs:
+        for (cols, diag, oidx, orow, olcol, *_u) in seg_args:
             (x, bc), _ = jax.lax.scan(
-                step, (x, bc),
-                (sg.cols, sg.diag, sg.off_idx, sg.off_row, sg.off_lcol))
+                step, (x, bc), (cols, diag, oidx, orow, olcol))
         return x[:p.n]
 
-    def _solve_upper_impl(self, lx, b):
+    def _solve_upper_impl(self, lx, b, seg_args):
         p = self.plan
         lxp = jnp.concatenate([lx.astype(self.dtype),
                                jnp.zeros(1, self.dtype)])
@@ -215,24 +218,25 @@ class SimplicialExecutor:
             x = x.at[cols].set(xt)
             return x.at[p.n].set(0), None
 
-        for sg in reversed(self._segs):
+        for (cols, diag, oidx, orow, olcol, *_u) in reversed(seg_args):
             x, _ = jax.lax.scan(
-                step, x,
-                (sg.cols, sg.diag, sg.off_idx, sg.off_row, sg.off_lcol),
-                reverse=True)
+                step, x, (cols, diag, oidx, orow, olcol), reverse=True)
         return x[:p.n]
 
     def solve_lower(self, lx, b) -> jax.Array:
         """x = L^{-1} b (forward substitution, level-parallel)."""
-        return self._solve_lower(jnp.asarray(lx), jnp.asarray(b))
+        return self._solve_lower(jnp.asarray(lx), jnp.asarray(b),
+                                 self._seg_args)
 
     def solve_upper(self, lx, b) -> jax.Array:
         """x = L^{-T} b (backward substitution, level-parallel)."""
-        return self._solve_upper(jnp.asarray(lx), jnp.asarray(b))
+        return self._solve_upper(jnp.asarray(lx), jnp.asarray(b),
+                                 self._seg_args)
 
     def solve_spd(self, lx, b) -> jax.Array:
         """x = A^{-1} b given the factor values (two triangular solves)."""
-        return self._solve_spd(jnp.asarray(lx), jnp.asarray(b))
+        return self._solve_spd(jnp.asarray(lx), jnp.asarray(b),
+                                self._seg_args)
 
     # ------------------------------------------------------------ exports
     def factor_csc(self, lx) -> "np.ndarray":

@@ -57,12 +57,16 @@ class SupernodalExecutor:
                         h=jnp.asarray(b.h), cols=jnp.asarray(b.cols),
                         rows=jnp.asarray(b.rows)) for b in seg.fin]
             self._seg_xs.append((upd, win, fin))
+        # index tables enter as jit ARGUMENTS (not closures): closed-over
+        # arrays are baked into the lowered module as constants, which for
+        # large plans means hundreds of MB of literals and pathological
+        # compile times — as parameters they are just device buffers.
         self._factorize = jax.jit(self._factorize_impl)
         self._solve_lower = jax.jit(self._solve_lower_impl)
         self._solve_upper = jax.jit(self._solve_upper_impl)
         self._solve_spd = jax.jit(
-            lambda pool, b: self._solve_upper_impl(
-                pool, self._solve_lower_impl(pool, b)))
+            lambda pool, b, seg_xs: self._solve_upper_impl(
+                pool, self._solve_lower_impl(pool, b, seg_xs), seg_xs))
 
     # ----------------------------------------------------------- helpers
     def _gather_panel(self, pool, base, H, Ws):
@@ -169,11 +173,10 @@ class SupernodalExecutor:
             pool = pool.at[self._dummy].set(0)
         return pool
 
-    def _factorize_impl(self, a_data):
+    def _factorize_impl(self, a_data, seg_xs):
         pool = jnp.zeros(self.plan.pool_size, self.dtype)
         pool = pool.at[self._a_map].add(a_data.astype(self.dtype))
-        for seg, (upd_xs, win_xs, fin_xs) in zip(self.plan.segments,
-                                                 self._seg_xs):
+        for seg, (upd_xs, win_xs, fin_xs) in zip(self.plan.segments, seg_xs):
             def step(pool, xs, seg=seg):
                 u, wxs, f = xs
                 pool = self._apply_updates(pool, u, wxs, seg)
@@ -184,16 +187,16 @@ class SupernodalExecutor:
 
     def factorize(self, a_data) -> jax.Array:
         """Numeric supernodal Cholesky: A values -> panel pool."""
-        return self._factorize(jnp.asarray(a_data))
+        return self._factorize(jnp.asarray(a_data), self._seg_xs)
 
     # ------------------------------------------------------------ solves
-    def _solve_lower_impl(self, pool, b):
+    def _solve_lower_impl(self, pool, b, seg_xs):
         n = self.plan.n
         x = jnp.zeros(n + 1, self.dtype)
         bc = jnp.concatenate([b.astype(self.dtype),
                               jnp.zeros(1, self.dtype)])
 
-        for seg, (_, _, fin_xs) in zip(self.plan.segments, self._seg_xs):
+        for seg, (_, _, fin_xs) in zip(self.plan.segments, seg_xs):
             def step(carry, xs, seg=seg):
                 x, bc = carry
                 for bk, fx in zip(seg.fin, xs):
@@ -215,14 +218,14 @@ class SupernodalExecutor:
             (x, bc), _ = jax.lax.scan(step, (x, bc), fin_xs)
         return x[:n]
 
-    def _solve_upper_impl(self, pool, b):
+    def _solve_upper_impl(self, pool, b, seg_xs):
         n = self.plan.n
         x = jnp.zeros(n + 1, self.dtype)
         bp = jnp.concatenate([b.astype(self.dtype),
                               jnp.zeros(1, self.dtype)])
 
         for seg, (_, _, fin_xs) in zip(reversed(self.plan.segments),
-                                       reversed(self._seg_xs)):
+                                       reversed(seg_xs)):
             def step(x, xs, seg=seg):
                 for bk, fx in zip(seg.fin, xs):
                     Ws, H = bk.Ws, bk.H
@@ -242,13 +245,13 @@ class SupernodalExecutor:
         return x[:n]
 
     def solve_lower(self, pool, b) -> jax.Array:
-        return self._solve_lower(pool, jnp.asarray(b))
+        return self._solve_lower(pool, jnp.asarray(b), self._seg_xs)
 
     def solve_upper(self, pool, b) -> jax.Array:
-        return self._solve_upper(pool, jnp.asarray(b))
+        return self._solve_upper(pool, jnp.asarray(b), self._seg_xs)
 
     def solve_spd(self, pool, b) -> jax.Array:
-        return self._solve_spd(pool, jnp.asarray(b))
+        return self._solve_spd(pool, jnp.asarray(b), self._seg_xs)
 
     # ------------------------------------------------------------ export
     def factor_values(self, pool) -> jax.Array:
@@ -268,7 +271,7 @@ class SupernodalExecutor:
         out = []
         for i, (seg, xs3) in enumerate(zip(self.plan.segments,
                                            self._seg_xs)):
-            def run(pool, seg=seg, xs3=xs3):
+            def run(pool, xs3, seg=seg):
                 def step(pool, xs):
                     u, wxs, f = xs
                     pool = self._apply_updates(pool, u, wxs, seg)
@@ -276,11 +279,11 @@ class SupernodalExecutor:
                     return pool, None
                 return jax.lax.scan(step, pool, xs3)[0]
             jrun = jax.jit(run)
-            pool2 = jax.block_until_ready(jrun(pool))
+            pool2 = jax.block_until_ready(jrun(pool, xs3))
             times = []
             for _ in range(iters):
                 t0 = time.perf_counter()
-                jax.block_until_ready(jrun(pool))
+                jax.block_until_ready(jrun(pool, xs3))
                 times.append(time.perf_counter() - t0)
             out.append({"segment": i, "steps": seg.nsteps,
                         "stream": seg.V, "window": seg.W,
