@@ -61,7 +61,8 @@ def cmd_cholesky(args) -> None:
         from parsy_bench_tpu.core.io import read_ordering
         ordering, given = "given", read_ordering(args.ordering_file, a.n)
     cfg = SolverConfig(ordering=ordering, given_perm=given,
-                       dtype=args.dtype, tier=args.tier)
+                       dtype=args.dtype, tier=args.tier,
+                       max_supernode_width=args.max_width)
     _warm_scatter()
     t0 = time.perf_counter()
     s = CholeskySolver(a, cfg)
@@ -154,6 +155,8 @@ def cmd_baseline(args) -> None:
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 
+    if args.iters < 1:
+        raise SystemExit("--iters must be >= 1")
     a = load_matrix(args.matrix)
     full = a.symmetrize_from_lower().to_scipy().tocsc()
     out = {"driver": "baseline", "matrix": args.matrix,
@@ -209,6 +212,8 @@ def main(argv=None) -> None:
         q.add_argument("--tier", default="supernodal",
                        choices=["simplicial", "supernodal"])
         q.add_argument("--dtype", default="float32")
+        q.add_argument("--max-width", type=int, default=128,
+                       help="supernode width cap (panel-chain split above)")
         q.add_argument("--iters", type=int, default=5)
         q.add_argument("--verify", action="store_true")
         q.add_argument("--profile", action="store_true")

@@ -44,17 +44,31 @@ def write_matrix_market(path: str, a: CSC, symmetric: bool = True) -> None:
 
 
 def read_ordering(path: str, n: int) -> np.ndarray:
-    """PaStiX-format ordering file: header line with n, then ``i perm[i]``
-    pairs (reference: common/Util.h:187)."""
+    """Ordering-file reader (reference: common/Util.h:187 ``readOrdering``).
+
+    Accepts the reference/PaStiX format — '%' comment lines, a header line
+    whose first token is n, then **one permutation value per line** read
+    sequentially into perm[0..n) — and, as a fallback, this repo's older
+    ``i perm[i]`` pair format (two tokens per line).
+    """
     with open(path) as f:
-        first = f.readline().split()
-        count = int(first[0])
-        if count != n:
-            raise ValueError(f"ordering file is for n={count}, matrix has n={n}")
-        perm = np.empty(n, dtype=np.int32)
-        for _ in range(n):
-            i, p = f.readline().split()[:2]
-            perm[int(i)] = int(p)
+        lines = [ln.split() for ln in f
+                 if ln.strip() and not ln.lstrip().startswith("%")]
+    count = int(lines[0][0])
+    if count != n:
+        raise ValueError(f"ordering file is for n={count}, matrix has n={n}")
+    body = lines[1:]
+    if len(body) < n:
+        raise ValueError(f"ordering file has {len(body)} entries, need {n}")
+    perm = np.empty(n, dtype=np.int64)
+    if all(len(tok) >= 2 for tok in body[:n]):
+        for tok in body[:n]:               # pair format: i perm[i]
+            perm[int(tok[0])] = int(tok[1])
+    else:
+        for i, tok in enumerate(body[:n]):  # reference format: one per line
+            perm[i] = int(tok[0])
+    if not np.array_equal(np.sort(perm), np.arange(n)):
+        raise ValueError("ordering file is not a permutation of 0..n-1")
     return perm
 
 

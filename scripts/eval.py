@@ -44,9 +44,12 @@ def main() -> None:
     p.add_argument("--trisolve", action="store_true")
     args = p.parse_args()
     for mtx in args.matrices:
-        for tier, ordering, _w in itertools.product(
-                SWEEP["tier"], SWEEP["ordering"], [128]):
+        for tier, ordering, w in itertools.product(
+                SWEEP["tier"], SWEEP["ordering"], SWEEP["max_width"]):
+            if tier == "simplicial" and w != SWEEP["max_width"][-1]:
+                continue  # width cap only affects the supernodal tier
             run(["cholesky", mtx, "--tier", tier, "--ordering", ordering,
+                 "--max-width", str(w),
                  "--iters", str(args.iters), "--verify"])
         if args.trisolve:
             for tier in SWEEP["tier"]:

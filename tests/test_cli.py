@@ -33,9 +33,16 @@ def test_lowerhalf_driver(tmp_path):
     a = (a + a.T + 12 * sp.eye(12)).tocoo()
     sio.mmwrite(str(full), a)
     (out,) = _run(["lowerhalf", str(full), str(low)])
-    m = sio.mmread(str(low)).tocsc()
     assert out["n"] == 12
-    assert (sp.tril(m, 0) != m).nnz == 0   # strictly lower-half on disk
+    # the file must *store* only the lower half under a symmetric header
+    # (mmread would expand it back to the full matrix, so inspect storage)
+    assert sio.mminfo(str(low))[5] == "symmetric"
+    stored = [ln.split() for ln in open(low)
+              if not ln.startswith("%")][1:]   # skip header + size line
+    assert all(int(r) >= int(c) for r, c, *_ in stored)
+    # expanding the symmetric storage must reproduce the original matrix
+    m = sio.mmread(str(low)).tocsc()
+    assert abs(m - a.tocsc()).max() < 1e-12
 
 
 def test_trisolve_lower_nonchordal(tmp_path):
