@@ -31,16 +31,14 @@ class SolverConfig:
     max_supernode_width: int = 128
 
     # ---- scheduling (replaces LBC, InspectionLevel_06.h:18) ----
-    #: pad each wavefront level of scalar work to a multiple of this many
-    #: columns per scan step.
-    cols_per_step: int = 0  # 0 = auto from level-size distribution
-    #: merge this many consecutive steps into one unrolled scan body
-    #: (the TPU analogue of LBC level coarsening; 1 = plain wavefront H1).
-    steps_per_superstep: int = 1
-    #: width classes for supernodal panel pools (ascending).  Few classes =
-    #: few compiled batch-kernel shapes; padding cost is bounded zeros in
-    #: MXU contractions.
-    width_classes: Tuple[int, ...] = (8, 32, 128)
+    #: stored width classes for the per-class panel row pools (ascending).
+    #: Few classes = few compiled batch-kernel shapes; narrow supernodes are
+    #: zero-padded to the smallest class (TPU rows must be >= 32 lanes to
+    #: gather at speed, scripts/microbench2.py).
+    width_classes: Tuple[int, ...] = (32, 128)
+    #: update-chunk row classes (descending); each source chunk becomes one
+    #: lane of a batched MXU einsum.
+    chunk_classes: Tuple[int, ...] = (256, 64, 16)
     #: height granularity of panel padding (f32 sublane tile is 8).
     height_unit: int = 8
 

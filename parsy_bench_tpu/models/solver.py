@@ -155,6 +155,7 @@ class TriangularSolver:
     def __init__(self, l: CSC, config: SolverConfig | None = None):
         self.config = config or SolverConfig()
         self.l = l
+        import jax
         import jax.numpy as jnp
         if self.config.tier == "supernodal":
             from parsy_bench_tpu.ops.supernodal import SupernodalExecutor
@@ -162,9 +163,10 @@ class TriangularSolver:
             self.plan = build_trisolve_plan(l, self.config)
             self.executor = SupernodalExecutor(self.plan,
                                                dtype=self.config.dtype)
-            pool = jnp.zeros(self.plan.pool_size, self.executor.dtype)
-            self._lx = pool.at[self.executor._a_map].add(
-                jnp.asarray(l.data, dtype=self.executor.dtype))
+            # the "A scatter" of the layout maps L's entries straight into
+            # the class pools — for trisolve the input IS the factor
+            self._lx = jax.jit(self.executor._init_pools)(
+                jnp.asarray(l.data))
         else:
             self.levels, self.plan = trisolve_plan(l)
             self.executor = SimplicialExecutor(self.plan,

@@ -41,20 +41,21 @@ class ShardedSupernodalExecutor:
     """Supernodal factorization over a 1-D device mesh.
 
     The plan must be built with ``config.num_partitions == mesh size``:
-    update chunks are round-robined over the shard axis at inspection time
-    (splan.py), each device computes the window-delta of its own chunk
-    stream, and one ``psum`` per level step reduces the deltas — the ICI
-    collective that replaces the reference's shared-memory scatter (P7).
-    Panel finalization (potrf/trsm) is replicated: every device runs the
-    identical batched kernels so the pool stays consistent with no extra
-    communication.
+    update chunks are cost-packed over the shard axis at inspection time
+    (splan.py ``_shard_of``, the reference's worstFitBinPack role,
+    TreeUtils.h:217); each device scatter-adds its own chunks into a
+    private delta window, and one contiguous-window ``psum`` per level
+    step reduces them — the ICI collective that replaces the reference's
+    shared-memory atomic scatter (P7).  Panel finalization (potrf/trsm) is
+    replicated: every device runs the identical batched kernels so the
+    pools stay consistent with no extra communication.
     """
 
     def __init__(self, plan, mesh: Mesh, dtype=jnp.float32):
         from parsy_bench_tpu.ops.supernodal import SupernodalExecutor
         if mesh.axis_names != ("p",):
             raise ValueError("mesh must have a single axis named 'p'")
-        G = plan.segments[0].perm.shape[0] if plan.segments else 1
+        G = plan.nshards
         if mesh.shape["p"] != G:
             raise ValueError(
                 f"plan built for {G} partitions, mesh has {mesh.shape['p']}")
@@ -63,47 +64,31 @@ class ShardedSupernodalExecutor:
         self._inner = SupernodalExecutor(plan, dtype=dtype)
         ex = self._inner
 
-        shard = P(None, "p")   # (T, G, ...) tables: split the shard axis
+        shard = P(None, "p")   # (T, G, ...) update tables: split G
         rep = P()
         seg_specs = []
         for seg in plan.segments:
-            upd = [dict(a_start=shard, b_start=shard) for _ in seg.upd]
-            win = dict(perm=shard, wstart=shard, wend=shard, lo=rep)
-            fin = [dict(base=rep, w=rep, h=rep, cols=rep, rows=rep)
+            upd = [dict(arow=shard, bmap=shard, dst=shard)
+                   for _ in seg.upd]
+            fin = [dict(cnt=rep, boff=rep, w=rep, cols0=rep, rows=rep)
                    for _ in seg.fin]
-            seg_specs.append((upd, win, fin))
-
-        def _factorize(a_data, seg_xs):
-            pool = jnp.zeros(plan.pool_size, ex.dtype)
-            pool = pool.at[ex._a_map].add(a_data.astype(ex.dtype))
-            for seg, xs3 in zip(plan.segments, seg_xs):
-                def step(pool, xs, seg=seg):
-                    u, wxs, f = xs
-                    if seg.V:
-                        delta = ex._shard_delta(pool, u, wxs, seg, 0)
-                        delta = jax.lax.psum(delta, "p")
-                        lo = wxs["lo"]
-                        win = jax.lax.dynamic_slice(pool, (lo,), (seg.W,))
-                        pool = jax.lax.dynamic_update_slice(
-                            pool, win - delta, (lo,))
-                    pool = ex._finalize_panels(pool, f, seg)
-                    return pool, None
-                pool, _ = jax.lax.scan(step, pool, xs3)
-            return pool
+            seg_specs.append((upd, fin, rep))
 
         self._factorize = jax.jit(jax.shard_map(
-            _factorize, mesh=mesh, in_specs=(rep, seg_specs),
-            out_specs=rep, check_vma=False))
+            lambda a_data, seg_xs: ex._factorize_impl(
+                a_data, seg_xs, axis_name="p"),
+            mesh=mesh, in_specs=(rep, seg_specs),
+            out_specs=tuple(rep for _ in plan.classes), check_vma=False))
 
-    def factorize(self, a_data) -> jax.Array:
-        """Replicated panel pool from the SPMD factorization."""
+    def factorize(self, a_data):
+        """Replicated panel pools from the SPMD factorization."""
         return self._factorize(jnp.asarray(a_data), self._inner._seg_xs)
 
-    def solve_spd(self, pool, b):
-        return self._inner.solve_spd(pool, b)
+    def solve_spd(self, pools, b):
+        return self._inner.solve_spd(pools, b)
 
-    def factor_values(self, pool):
-        return self._inner.factor_values(pool)
+    def factor_values(self, pools):
+        return self._inner.factor_values(pools)
 
 
 class ShardedSimplicialExecutor:

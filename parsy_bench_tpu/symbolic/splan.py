@@ -1,34 +1,35 @@
 """Supernodal execution plan: the inspector -> batched-executor contract.
 
 Replaces the reference's LBC scheduler (InspectionLevel_06.h:18
-``getCoarseLevelSet_6``) with the TPU-native mapping (SURVEY §7C):
+``getCoarseLevelSet_6``) with the TPU-native mapping (SURVEY §7C), redesigned
+in round 2 around measured TPU primitive rates (scripts/microbench2.py):
+data is moved only at **row granularity** (>= 32 lanes) or as contiguous
+window slices — element-granular gathers/scatters and XLA's batched
+cholesky/triangular_solve are two orders of magnitude too slow.
 
-* wavefront levels of the supernodal etree = sequential steps;
-* within a level, **update pairs** (source panel d -> target panel s,
-  reference executor loop parallel_PB_Cholesky_05.h:117-197) are row-chunked
-  and bucketed into a few padded tile classes, each executed as one batched
-  MXU einsum; **panel finalizations** (dpotrf+dtrsm, :204-218) are bucketed
-  by (width class, height class) and run as batched cholesky +
-  triangular_solve;
-* levels are grouped into contiguous segments (ops/simplicial.py
-  ``segment_levels``) so each segment is one ``lax.scan`` — compile cost
-  O(#segments x #buckets);
-* the contribution **scatter is eliminated**: panels are laid out in the
-  pool level-major, so each level's targets form one contiguous window;
-  contributions are sorted by destination with a host-precomputed static
-  permutation, reduced by ``cumsum`` + boundary gathers, and applied with
-  one dynamic-slice subtraction.  This replaces both the reference's
-  ``omp atomic`` scatter (SURVEY P7) and XLA's element-serialized TPU
-  scatter with bandwidth-bound gathers and a parallel prefix sum.
+* Panels live in per-width-class 2-D row pools, level-major and
+  height-sorted (symbolic/supernodes.py ``ClassLayout``), so each level's
+  targets are one contiguous row window and each finalize bucket is a
+  contiguous slice.
+* An **update pair** (source panel d -> target s; the reference's
+  dsyrk/dgemm pair, parallel_PB_Cholesky_05.h:117-197) is row-chunked; each
+  chunk is one lane of a batched MXU einsum C = A @ B~^T where A is the
+  chunk's rows (row gather) and B~ is the pair's overlap block gathered
+  **pre-aligned to the target's columns** (alignment folded into the index
+  table, so C lands column-aligned).  C rows are scatter-added into a
+  per-level **delta window** (row-granular scatter) and applied with one
+  window subtraction — the conflict-free replacement for ``omp atomic``
+  (SURVEY P7).
+* **Finalize** (dpotrf + dtrsm, :204-218) is a contiguous window slice per
+  (width-class, height-class) bucket, factored by the matmul-only blocked
+  Cholesky in ops/dense.py.
 
-An update pair exploits two structural facts (the reference's lb/ub overlap
-scan, parallel_PB_Cholesky_05.h:137-149): the rows of d landing in s's
-columns are one contiguous slice [lb, lb+q) of d's row list, and every row
-of d at or below that slice appears in s's row list (supernodal subset
-property).  With A = rows [lb, h_d) of d's stored panel and B = A[:q],
-C = A @ B^T is exactly the dsyrk+dgemm contribution.  A's rows are split
-greedily into chunks from ``_CHUNK_CLASSES`` so padding stays < 2 x true
-work while the number of distinct batch shapes stays small.
+Wavefront levels are grouped into ``lax.scan`` segments
+(ops/simplicial.py ``segment_levels``), tables padded per segment.
+
+Update pairs exploit the supernodal subset property (the reference's lb/ub
+overlap scan, parallel_PB_Cholesky_05.h:137-149): rows of d at or below the
+overlap slice all appear in s's row list.
 """
 from __future__ import annotations
 
@@ -42,57 +43,39 @@ from parsy_bench_tpu.config import SolverConfig
 from parsy_bench_tpu.ops.simplicial import segment_levels
 from parsy_bench_tpu.symbolic.etree import tree_levels
 from parsy_bench_tpu.symbolic.supernodes import (
-    BCSCLayout, build_layout, build_partition)
-
-#: greedy row-chunk classes for update tiles (descending)
-_CHUNK_CLASSES = (512, 128, 32, 8)
-#: sentinel destination for padded contribution lanes (sorts last)
-_PAD_DST = np.int64(1) << 62
-
-
-def _ladder_ceil(x: int, base: int, factor: int = 4) -> int:
-    """Smallest base * factor^k >= x (coarse class ladder)."""
-    c = base
-    while c < x:
-        c *= factor
-    return c
-
-
-def _chunk_sizes(m: int) -> list[int]:
-    """Greedy split of m rows into _CHUNK_CLASSES chunks (last padded up
-    to the smallest class)."""
-    out = []
-    left = m
-    for c in _CHUNK_CLASSES:
-        while left >= c:
-            out.append(c)
-            left -= c
-    if left > 0:
-        out.append(_CHUNK_CLASSES[-1])
-    return out
+    ClassLayout, build_class_layout, build_partition)
 
 
 @dataclasses.dataclass
 class UpdBucket:
-    """Padded batch of update chunks with identical tile classes for one
-    segment.  Arrays lead with (shard, step) axes (G shards, T steps,
-    P chunks/step/shard); G=1 when unsharded."""
-    K: int               # stored width class of the source panel (= stride)
+    """Padded batch of update chunks with one tile class per segment.
+
+    Update tables lead with a shard axis G (the w-partition owner axis,
+    SURVEY P2; G=1 unsharded), then the step axis T, then lanes P.
+    """
+    kcls: int            # source width-class index
+    K: int               # source stored width (= classes[kcls])
+    ccls: int            # target width-class index
+    c: int               # target stored width
     Mc: int              # chunk row count
-    Q: int               # padded overlap width (<= 128)
-    a_start: np.ndarray  # (G, T, P) int32 pool index of the chunk's 1st row
-    b_start: np.ndarray  # (G, T, P) int32 pool index of the pair's B block
+    arow: np.ndarray     # (G, T, P) int32 first source row in pool_kcls
+    bmap: np.ndarray     # (G, T, P, c) int32 source rows of B~; pad -> dummy
+    dst: np.ndarray      # (G, T, P, Mc) int32 delta-local target row;
+    #                      pad -> the delta dummy row (= wslice[ccls])
 
 
 @dataclasses.dataclass
 class FinBucket:
-    """Padded batch of panel finalizations (potrf + trsm) for one segment."""
-    Ws: int              # stored width class
-    H: int               # padded panel height
-    base: np.ndarray     # (T, P) int32 pool offset; pad -> dummy slot
-    w: np.ndarray        # (T, P) int32 logical width; 0 for padding
-    h: np.ndarray        # (T, P) int32 logical height
-    cols: np.ndarray     # (T, P, Ws) int32 global column ids; pad -> n
+    """Contiguous window slice of panels with equal (class, height)."""
+    ccls: int
+    c: int               # stored width
+    H: int               # stored height (every panel in the bucket)
+    P: int               # padded lane count
+    cnt: np.ndarray      # (T,) int32 real lanes per step
+    boff: np.ndarray     # (T,) int32 window-local row offset of the slice
+    w: np.ndarray        # (T, P) int32 logical width; 0 pad
+    h: np.ndarray        # (T, P) int32 logical height (pattern rows); 0 pad
+    cols0: np.ndarray    # (T, P) int32 first global column; pad -> n
     rows: np.ndarray     # (T, P, H) int32 global row ids; pad -> n
 
 
@@ -101,275 +84,332 @@ class SupSegment:
     nsteps: int
     upd: list[UpdBucket]
     fin: list[FinBucket]
-    V: int               # contribution-stream length per step per shard
-    W: int               # padded level-window length
-    perm: np.ndarray     # (G, T, V) int32 sort-by-destination permutation
-    wstart: np.ndarray   # (G, T, W) int32 cumsum range start per window slot
-    wend: np.ndarray     # (G, T, W) int32 cumsum range end per window slot
-    lo: np.ndarray       # (T,) int32 pool offset of the level window
+    rlo: np.ndarray      # (ncls, T) int32 window start row per class
+    wslice: tuple        # per class: static window slice rows (padded)
 
 
 @dataclasses.dataclass
 class SupernodalPlan:
     n: int
-    layout: BCSCLayout
-    lev: np.ndarray
+    layout: ClassLayout
+    lev: np.ndarray      # (nsuper,) supernode level
     nlev: int
+    nshards: int
     segments: list[SupSegment]
-    flops: float
-    window_slack: int    # extra zero slots appended to the pool
+    flops: float         # true factorization flops
+    gemm_flops: float    # padded update-einsum flops (for the cost model)
+    nrows: np.ndarray    # (ncls,) final pool rows (incl. slack + dummy row)
 
     @property
-    def pool_size(self) -> int:
-        return self.layout.pool_size + self.window_slack
+    def classes(self):
+        return self.layout.classes
+
+    def pool_elems(self) -> int:
+        return int(sum(int(r) * c
+                       for r, c in zip(self.nrows, self.classes)))
 
 
-def _merge_buckets(buckets: dict, max_buckets: int, compatible, volume):
-    """Fold small buckets into compatible larger-class buckets in place
-    until at most ``max_buckets`` remain (compile-shape cap)."""
-    while len(buckets) > max_buckets:
-        cnts = {k: sum(len(sl) for sl in v) for k, v in buckets.items()}
-        order = sorted(buckets, key=lambda k: volume(k, cnts[k]))
-        merged = False
-        for small in order:
-            targets = [k for k in buckets
-                       if k != small and compatible(small, k)]
-            if not targets:
-                continue
-            tgt = min(targets, key=lambda k: volume(k, cnts[small]))
-            for tl, sl in zip(buckets[tgt], buckets[small]):
-                tl.extend(sl)
-            del buckets[small]
-            merged = True
-            break
-        if not merged:
-            break
+def _cumsum0(x):
+    out = np.zeros(len(x) + 1, dtype=np.int64)
+    np.cumsum(x, out=out[1:])
+    return out
 
 
-def _emit_pairs(layout: BCSCLayout):
-    """All update pairs (d, s, lb, q) from the supernodal row patterns."""
-    part = layout.part
-    rptr, rows = layout.rptr, layout.rows
-    col2sup = part.col2sup
-    d_list, s_list, lb_list, q_list = [], [], [], []
-    for d in range(part.nsuper):
-        r0, r1 = int(rptr[d]), int(rptr[d + 1])
-        w = int(part.sptr[d + 1] - part.sptr[d])
-        below = rows[r0 + w:r1]
-        if len(below) == 0:
-            continue
-        tgt = col2sup[below]
-        cut = np.nonzero(np.diff(tgt))[0] + 1
-        starts = np.concatenate([[0], cut])
-        ends = np.concatenate([cut, [len(below)]])
-        d_list.append(np.full(len(starts), d, dtype=np.int64))
-        s_list.append(tgt[starts].astype(np.int64))
-        lb_list.append(w + starts)
-        q_list.append(ends - starts)
-    if not d_list:
-        z = np.empty(0, dtype=np.int64)
-        return z, z, z, z
-    return (np.concatenate(d_list), np.concatenate(s_list),
-            np.concatenate(lb_list), np.concatenate(q_list))
+def _expand(starts, counts):
+    """Flat [starts[i] + 0..counts[i]) for every i (vectorized ragged
+    arange); also returns the owner index per element."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    owner = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    off = _cumsum0(counts)
+    intra = np.arange(total, dtype=np.int64) - off[owner]
+    return np.asarray(starts, dtype=np.int64)[owner] + intra, owner, intra
+
+
+def emit_pairs(rptr, rows, sptr, col2sup):
+    """All update pairs (d, s, lb, q) from the supernodal row patterns
+    (vectorized).  lb = first row index (within d's pattern) of the run of
+    rows mapping to supernode s; q = run length (overlap width)."""
+    nsuper = len(rptr) - 1
+    widths = np.diff(sptr)
+    h = np.diff(rptr)
+    # below-diagonal rows of every panel, flat
+    below_idx, d_of, intra = _expand(rptr[:-1] + widths, h - widths)
+    tgt = col2sup[rows[below_idx]].astype(np.int64)
+    # run starts: first element per panel or target change
+    first = np.zeros(len(tgt), dtype=bool)
+    if len(tgt):
+        first[0] = True
+        first[1:] = (d_of[1:] != d_of[:-1]) | (tgt[1:] != tgt[:-1])
+    starts = np.nonzero(first)[0]
+    ends = np.concatenate([starts[1:], [len(tgt)]])
+    dd = d_of[starts]
+    ss = tgt[starts]
+    lb = widths[dd] + intra[starts]
+    qq = ends - starts
+    return dd, ss, lb, qq
+
+
+def _chunk_pairs(m, chunk_classes):
+    """Greedy split of each pair's m rows into descending chunk classes.
+    Returns (pair_of_chunk, mc_class, off, mtrue) flat arrays."""
+    m = np.asarray(m, dtype=np.int64)
+    npairs = len(m)
+    parts = []
+    base = np.zeros(npairs, dtype=np.int64)
+    rem = m.copy()
+    for i, ch in enumerate(chunk_classes):
+        cnt = rem // ch if i < len(chunk_classes) - 1 else -(-rem // ch)
+        starts, owner, intra = _expand(base, cnt)
+        off = base[owner] + intra * ch
+        mtrue = np.minimum(ch, m[owner] - off)
+        parts.append((owner, np.full(len(owner), ch, dtype=np.int64),
+                      off, mtrue))
+        base = base + cnt * ch
+        rem = np.maximum(m - base, 0)
+    owner = np.concatenate([p[0] for p in parts])
+    mcc = np.concatenate([p[1] for p in parts])
+    off = np.concatenate([p[2] for p in parts])
+    mtrue = np.concatenate([p[3] for p in parts])
+    return owner, mcc, off, mtrue
+
+
+def _group_ranks(keys_sorted):
+    """Rank within equal-key runs of an already-sorted key array."""
+    n = len(keys_sorted)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    newgrp = np.ones(n, dtype=bool)
+    newgrp[1:] = keys_sorted[1:] != keys_sorted[:-1]
+    gid = np.cumsum(newgrp) - 1
+    gstart = _cumsum0(np.bincount(gid))[gid]
+    return np.arange(n, dtype=np.int64) - gstart
+
+
+def _shard_of(cost, group_key, nshards):
+    """Worst-fit-decreasing assignment of chunks to shards within each
+    group (the reference's worstFitBinPack, common/TreeUtils.h:217).
+    Vectorized approximation: sort by cost descending within group and
+    deal round-robin — equivalent to WFD when costs are similar, and
+    cost-balanced because heavy chunks spread first."""
+    if nshards <= 1:
+        return np.zeros(len(cost), dtype=np.int64)
+    order = np.lexsort((-cost, group_key))
+    rank = _group_ranks(group_key[order])
+    g = np.empty(len(cost), dtype=np.int64)
+    g[order] = rank % nshards
+    return g
 
 
 def build_supernodal_plan(a: CSC, parent: np.ndarray, cc: np.ndarray,
                           lpat: sp.csc_matrix,
-                          config: SolverConfig | None = None) -> SupernodalPlan:
-    """Inspector: partition + level-major layout + batched step tables."""
+                          config: SolverConfig | None = None
+                          ) -> SupernodalPlan:
+    """Inspector: partition -> class layout -> batched step tables."""
     config = config or SolverConfig()
     part = build_partition(a, parent, cc, config.nrelax, config.zrelax,
                            config.max_supernode_width)
     lev = tree_levels(part.sparent)
     nlev = int(lev.max(initial=-1)) + 1
-    # level-major pool layout -> per-level contiguous target windows
-    panel_order = np.lexsort((np.arange(part.nsuper), lev))
-    layout = build_layout(lpat, a, part, config.width_classes,
-                          config.height_unit, panel_order=panel_order)
-    n = a.n
-    nsuper = part.nsuper
-    rptr, rows, poff = layout.rptr, layout.rows, layout.poff
-    wpad, sptr = layout.wpad, part.sptr
-    psize = (layout.hpad * layout.wpad).astype(np.int64)
+    layout = build_class_layout(lpat, a, part, lev, config.width_classes)
+    return plan_from_layout(a.n, layout, cc=cc, config=config)
 
-    # per-level windows [wlo, whi) in the pool
-    wlo = np.full(nlev, np.iinfo(np.int64).max, dtype=np.int64)
-    whi = np.zeros(nlev, dtype=np.int64)
-    for s in range(nsuper):
-        t = lev[s]
-        wlo[t] = min(wlo[t], poff[s])
-        whi[t] = max(whi[t], poff[s] + psize[s])
-    if nlev:
-        wlo = np.minimum(wlo, whi)  # empty levels
 
-    # ---------------- update pairs ------------------------------------
-    dd, ss, lb, qq = _emit_pairs(layout)
-    plev = lev[ss] if len(ss) else np.empty(0, dtype=np.int64)
-    hm = (rptr[dd + 1] - rptr[dd] - lb).astype(np.int64)
+def plan_from_layout(n: int, layout: ClassLayout, cc=None,
+                     config: SolverConfig | None = None,
+                     with_updates: bool = True) -> SupernodalPlan:
+    """Emit the executor tables for a laid-out factor.  ``with_updates``
+    False emits a finalize/solve-only plan (blocked trisolve on a given
+    numeric L, reference Triangular_BCSC.h:171)."""
+    config = config or SolverConfig()
+    part = layout.part
+    lev, nlev = layout.lev, int(layout.lev.max(initial=-1)) + 1
+    G = max(1, int(config.num_partitions))
+    sptr = part.sptr
+    rptr, rows = layout.rptr, layout.rows
+    rowoff, cls, wpad, hpad = (layout.rowoff, layout.cls, layout.wpad,
+                               layout.hpad)
+    classes = layout.classes
+    ncls = len(classes)
+    h_all = np.diff(rptr)
+    w_all = np.diff(sptr)
+    gemm_flops = 0.0
 
-    sup_of_row = np.repeat(np.arange(nsuper, dtype=np.int64), np.diff(rptr))
-    row_keys = sup_of_row * np.int64(n + 1) + rows.astype(np.int64)
+    # ----------------------------------------------------------- pairs
+    if with_updates:
+        dd, ss, lb, qq = emit_pairs(rptr, rows, sptr, part.col2sup)
+        mm = (rptr[dd + 1] - rptr[dd] - lb).astype(np.int64)
+        # per-pair-row target positions (vectorized searchsorted)
+        sup_of_row = np.repeat(np.arange(part.nsuper, dtype=np.int64),
+                               h_all)
+        row_keys = sup_of_row * np.int64(n + 1) + rows.astype(np.int64)
+        ridx, pair_of, intra = _expand(rptr[dd] + lb, mm)
+        rv = rows[ridx].astype(np.int64)
+        pos = np.searchsorted(row_keys,
+                              ss[pair_of] * np.int64(n + 1) + rv)
+        assert np.all(rows[pos] == rv), "supernodal subset violated"
+        # delta-window-local target row of every pair row
+        dst_local_flat = (rowoff[ss[pair_of]] + (pos - rptr[ss[pair_of]])
+                          - layout.rlo[cls[ss[pair_of]],
+                                       lev[ss[pair_of]]]).astype(np.int64)
+        pr_off = _cumsum0(mm)          # pair -> flat row range
+        # B~ fill entries: first q rows of each pair
+        bsel = intra < qq[pair_of]
+        b_pair = pair_of[bsel]
+        b_colpos = (rv[bsel] - sptr[ss[b_pair]]).astype(np.int64)
+        b_srow = (rowoff[dd[b_pair]] + lb[b_pair]
+                  + intra[bsel]).astype(np.int64)
+        bq_off = _cumsum0(qq)          # pair -> flat b range
+        # chunks
+        cpair, cmc, coff, cmtrue = _chunk_pairs(mm, config.chunk_classes)
+        ck = cls[dd[cpair]]
+        cc_t = cls[ss[cpair]]
+        clev = lev[ss[cpair]]
+        # bucket id: (kcls, ccls, mc-class index)
+        mc_idx = np.searchsorted(-np.asarray(config.chunk_classes), -cmc)
+        cbucket = (ck * ncls + cc_t) * len(config.chunk_classes) + mc_idx
+        nbuckets = ncls * ncls * len(config.chunk_classes)
+    else:
+        cpair = np.zeros(0, dtype=np.int64)
 
-    pair_cnt = np.bincount(plev, minlength=nlev) if nlev else np.zeros(0)
-    fin_cnt = np.bincount(lev, minlength=nlev) if nlev else np.zeros(0)
-    pair_vol = np.bincount(plev, weights=hm.astype(np.float64),
-                           minlength=nlev) if nlev else np.zeros(0)
-    win_sz = (whi - wlo).astype(np.float64) if nlev else np.zeros(0)
-    segs = segment_levels(np.stack(
-        [pair_cnt, fin_cnt, pair_vol / 64.0, win_sz / 256.0], axis=1),
-        alpha=1.6, slack=8.0) if nlev else []
+    # ------------------------------------------------- level statistics
+    fin_cnt_cls = np.zeros((ncls, nlev), dtype=np.int64)
+    for ci in range(ncls):
+        np.add.at(fin_cnt_cls[ci], lev[cls == ci], 1)
+    chunk_cnt = np.zeros(nlev, dtype=np.int64)
+    chunk_vol = np.zeros(nlev, dtype=np.float64)
+    if len(cpair):
+        np.add.at(chunk_cnt, clev, 1)
+        np.add.at(chunk_vol, clev, (cmc * wpad[dd[cpair]]).astype(
+            np.float64))
+    wr = layout.wrows.astype(np.float64)
+    stats = np.concatenate([
+        chunk_cnt[:, None], chunk_vol[:, None] / 256.0,
+        fin_cnt_cls.T, wr.T / 64.0], axis=1)
+    segs = segment_levels(stats, alpha=1.6, slack=8.0) if nlev else []
 
-    pair_order = np.argsort(plev, kind="stable")
-    pair_off = np.zeros(nlev + 1, dtype=np.int64)
-    np.cumsum(pair_cnt, out=pair_off[1:])
-    sn_order = np.argsort(lev, kind="stable")
-    sn_off = np.zeros(nlev + 1, dtype=np.int64)
-    np.cumsum(fin_cnt, out=sn_off[1:])
-
-    dummy = layout.pool_size - 1
-
+    # --------------------------------------------- per-segment emission
+    dummy_row = [int(layout.nrows[ci]) for ci in range(ncls)]  # set later
     segments: list[SupSegment] = []
-    max_W = 0
-    for (t0, t1) in segs:
+    max_over = np.zeros(ncls, dtype=np.int64)   # pool slack requirement
+
+    if with_updates and len(cpair):
+        seg_of_lev = np.zeros(nlev, dtype=np.int64)
+        for si, (t0, t1) in enumerate(segs):
+            seg_of_lev[t0:t1] = si
+        cseg = seg_of_lev[clev]
+        # global sort of chunks by (segment, bucket, shard, level) and
+        # lane ranks within (segment, bucket, shard, level)
+        cost = (cmc * wpad[dd[cpair]] * wpad[ss[cpair]]).astype(np.float64)
+        gkey = ((cseg * nbuckets + cbucket) * nlev + clev)
+        gshard = _shard_of(cost, gkey, G)
+        skey = (gkey * G + gshard)
+        order = np.lexsort((np.arange(len(cpair)), skey))
+        lane = np.empty(len(cpair), dtype=np.int64)
+        lane[order] = _group_ranks(skey[order])
+
+    for si, (t0, t1) in enumerate(segs):
         T = t1 - t0
-        # ---- chunked update buckets: key (K, Mc, Q) -----------------
-        # each entry: (a_start, b_start, dst_block (Mc, Q) int64)
-        buckets: dict[tuple[int, int, int], list[list[tuple]]] = {}
-        for t in range(t0, t1):
-            for p in pair_order[pair_off[t]:pair_off[t + 1]]:
-                d, s = int(dd[p]), int(ss[p])
-                m, q = int(hm[p]), int(qq[p])
-                K = int(wpad[d])
-                Ws = int(wpad[s])
-                Q = min(128, _ladder_ceil(q, 8))
-                rseg = rows[rptr[d] + lb[p]:rptr[d + 1]].astype(np.int64)
-                pos = np.searchsorted(row_keys, s * np.int64(n + 1) + rseg)
-                assert np.all(rows[pos] == rseg), \
-                    "supernodal subset property violated"
-                rowpos = (pos - rptr[s]).astype(np.int64)
-                colpos = (rseg[:q] - sptr[s]).astype(np.int64)
-                cdst = np.full(Q, _PAD_DST, dtype=np.int64)
-                cdst[:q] = poff[s] + colpos
-                b0 = int(poff[d] + lb[p] * K)
-                off = 0
-                for csz in _chunk_sizes(m):
-                    rdst = np.full(csz, _PAD_DST, dtype=np.int64)
-                    nr = min(csz, m - off)
-                    rdst[:nr] = rowpos[off:off + nr] * Ws
-                    dst = rdst[:, None] + cdst[None, :]  # (csz, Q)
-                    dst[dst >= _PAD_DST] = _PAD_DST
-                    buckets.setdefault((K, csz, Q),
-                                       [[] for _ in range(T)])[t - t0].append(
-                        (b0 + off * K, b0, dst))
-                    off += csz
-        _merge_buckets(
-            buckets, max_buckets=10,
-            compatible=lambda a_, b_: (a_[0] == b_[0] and a_[1] == b_[1]
-                                       and a_[2] <= b_[2]),
-            volume=lambda key, cnt: cnt * key[1] * (key[0] + key[2]))
+        rlo_seg = layout.rlo[:, t0:t1].astype(np.int32)
+        wtrue_seg = layout.wrows[:, t0:t1]
+        wslice = [int(wtrue_seg[ci].max(initial=0)) for ci in range(ncls)]
 
-        # round-robin chunk assignment to G shards (the reference's
-        # w-partition owner axis, SURVEY P2; G=1 unsharded)
-        G = max(1, int(config.num_partitions))
-        sharded: dict[tuple, list[list[list[tuple]]]] = {
-            key: [[[] for _ in range(T)] for _ in range(G)]
-            for key in buckets}
-        for key, steps in buckets.items():
-            for t, sl in enumerate(steps):
-                for kk, entry in enumerate(sl):
-                    sharded[key][kk % G][t].append(entry)
+        # ---------------- finalize buckets (contiguous slices) ----------
+        fin_buckets: list[FinBucket] = []
+        for ci in range(ncls):
+            c = classes[ci]
+            sel = np.nonzero((cls == ci) & (lev >= t0) & (lev < t1))[0]
+            if len(sel) == 0:
+                continue
+            # pool order within a level is (hpad, id) — recover buckets
+            for H in np.unique(hpad[sel]):
+                ss_h = sel[hpad[sel] == H]
+                cnt = np.zeros(T, dtype=np.int32)
+                np.add.at(cnt, lev[ss_h] - t0, 1)
+                P = int(cnt.max())
+                boff = np.zeros(T, dtype=np.int32)
+                w_t = np.zeros((T, P), dtype=np.int32)
+                h_t = np.zeros((T, P), dtype=np.int32)
+                cols0 = np.full((T, P), n, dtype=np.int32)
+                rows_t = np.full((T, P, int(H)), n, dtype=np.int32)
+                od = ss_h[np.lexsort((ss_h, lev[ss_h]))]
+                lane_f = _group_ranks(lev[od])
+                tt = lev[od] - t0
+                first = lane_f == 0
+                boff[tt[first]] = (rowoff[od[first]]
+                                   - layout.rlo[ci, lev[od[first]]])
+                w_t[tt, lane_f] = w_all[od]
+                h_t[tt, lane_f] = h_all[od]
+                cols0[tt, lane_f] = sptr[od]
+                ri, owner, intra_r = _expand(rptr[od], h_all[od])
+                rows_t[tt[owner], lane_f[owner], intra_r] = rows[ri]
+                fin_buckets.append(FinBucket(
+                    ccls=ci, c=c, H=int(H), P=P, cnt=cnt, boff=boff,
+                    w=w_t, h=h_t, cols0=cols0, rows=rows_t))
+                end = boff + P * int(H)
+                wslice[ci] = max(wslice[ci], int(end.max()))
 
-        upd_buckets = []
-        bkeys = sorted(buckets)
-        widths = {}
-        for key in bkeys:
-            K, Mc, Q = key
-            P = max(len(sl) for g in sharded[key] for sl in g)
-            P = max(P, 1)
-            widths[key] = P
-            a_start = np.zeros((G, T, P), dtype=np.int32)
-            b_start = np.zeros((G, T, P), dtype=np.int32)
-            for g in range(G):
-                for t, sl in enumerate(sharded[key][g]):
-                    for kk, (astart, bstart, _) in enumerate(sl):
-                        a_start[g, t, kk] = astart
-                        b_start[g, t, kk] = bstart
-            upd_buckets.append(UpdBucket(K=K, Mc=Mc, Q=Q, a_start=a_start,
-                                         b_start=b_start))
-        # per-shard dst stream in executor concat order:
-        # for each bucket (sorted), C.reshape(P*Mc*Q)
-        V = sum(widths[k] * k[1] * k[2] for k in bkeys)
-        dsts = np.full((G, T, V), _PAD_DST, dtype=np.int64)
-        off = 0
-        for key in bkeys:
-            K, Mc, Q = key
-            width = widths[key] * Mc * Q
-            for g in range(G):
-                for t, sl in enumerate(sharded[key][g]):
-                    for kk, (_, _, dstblk) in enumerate(sl):
-                        base = off + kk * Mc * Q
-                        if dstblk.shape != (Mc, Q):  # merged, smaller Q
-                            padded = np.full((Mc, Q), _PAD_DST,
-                                             dtype=np.int64)
-                            padded[:, :dstblk.shape[1]] = dstblk
-                            dstblk = padded
-                        dsts[g, t, base:base + Mc * Q] = dstblk.reshape(-1)
-            off += width
-        assert off == V
+        # ---------------- update buckets --------------------------------
+        upd_buckets: list[UpdBucket] = []
+        if with_updates and len(cpair):
+            seg_sel = np.nonzero(cseg == si)[0]
+            for b in np.unique(cbucket[seg_sel]):
+                bi = seg_sel[cbucket[seg_sel] == b]
+                kcls = int(ck[bi[0]])
+                ccls = int(cc_t[bi[0]])
+                Mc = int(cmc[bi[0]])
+                K = classes[kcls]
+                c = classes[ccls]
+                P = int(lane[bi].max()) + 1
+                arow = np.full((G, T, P), 0, dtype=np.int32)
+                bmap = np.full((G, T, P, c), -1, dtype=np.int32)
+                dstt = np.full((G, T, P, Mc), wslice[ccls] + 0,
+                               dtype=np.int32)
+                gg = gshard[bi]
+                tt = clev[bi] - t0
+                ll = lane[bi]
+                arow[gg, tt, ll] = (rowoff[dd[cpair[bi]]]
+                                    + lb[cpair[bi]] + coff[bi])
+                # dst rows: mtrue entries per chunk from the flat map
+                fstart = pr_off[cpair[bi]] + coff[bi]
+                fr, owner, intra_c = _expand(fstart, cmtrue[bi])
+                dstt[gg[owner], tt[owner], ll[owner], intra_c] = \
+                    dst_local_flat[fr]
+                # B~ rows: q entries per chunk (per pair, replicated)
+                qb = qq[cpair[bi]]
+                br, owner_b, _ = _expand(bq_off[cpair[bi]], qb)
+                bmap[gg[owner_b], tt[owner_b], ll[owner_b],
+                     b_colpos[br]] = b_srow[br]
+                upd_buckets.append(UpdBucket(
+                    kcls=kcls, K=K, ccls=ccls, c=c, Mc=Mc,
+                    arow=arow, bmap=bmap, dst=dstt))
 
-        # sort-by-destination permutation and window boundary tables
-        Wn = int(max((whi[t] - wlo[t] for t in range(t0, t1)), default=0))
-        max_W = max(max_W, Wn)
-        perm = np.zeros((G, T, V), dtype=np.int32)
-        wstart = np.zeros((G, T, Wn), dtype=np.int32)
-        wend = np.zeros((G, T, Wn), dtype=np.int32)
-        lo = np.zeros(T, dtype=np.int32)
-        for t in range(T):
-            lo[t] = wlo[t0 + t]
-            span = np.arange(wlo[t0 + t], wlo[t0 + t] + Wn, dtype=np.int64)
-            for g in range(G):
-                order = np.argsort(dsts[g, t], kind="stable")
-                perm[g, t] = order.astype(np.int32)
-                sd = dsts[g, t, order]
-                wstart[g, t] = np.searchsorted(sd, span, side="left")
-                wend[g, t] = np.searchsorted(sd, span, side="right")
-        # ---- finalize buckets: key (Ws, H) --------------------------
-        fbuckets: dict[tuple[int, int], list[list[int]]] = {}
-        for t in range(t0, t1):
-            for s in sn_order[sn_off[t]:sn_off[t + 1]]:
-                h = int(rptr[s + 1] - rptr[s])
-                key = (int(wpad[s]),
-                       _ladder_ceil(h, max(8, int(wpad[s])), factor=2))
-                fbuckets.setdefault(key, [[] for _ in range(T)])[t - t0].append(int(s))
-        _merge_buckets(fbuckets, max_buckets=6,
-                       compatible=lambda a_, b_: (a_[0] == b_[0]
-                                                  and a_[1] <= b_[1]),
-                       volume=lambda key, cnt: cnt * key[1] * key[0])
-        fin_buckets = []
-        for (Ws, H), steps in sorted(fbuckets.items()):
-            P = max(len(sl) for sl in steps)
-            base = np.full((T, P), dummy, dtype=np.int32)
-            w = np.zeros((T, P), dtype=np.int32)
-            h = np.zeros((T, P), dtype=np.int32)
-            colsar = np.full((T, P, Ws), n, dtype=np.int32)
-            rowsar = np.full((T, P, H), n, dtype=np.int32)
-            for t, sl in enumerate(steps):
-                for kk, s in enumerate(sl):
-                    j1, j2 = int(sptr[s]), int(sptr[s + 1])
-                    hh = int(rptr[s + 1] - rptr[s])
-                    base[t, kk] = poff[s]
-                    w[t, kk] = j2 - j1
-                    h[t, kk] = hh
-                    colsar[t, kk, :j2 - j1] = np.arange(j1, j2)
-                    rowsar[t, kk, :hh] = rows[rptr[s]:rptr[s + 1]]
-            fin_buckets.append(FinBucket(Ws=Ws, H=H, base=base, w=w, h=h,
-                                         cols=colsar, rows=rowsar))
+        for ci in range(ncls):
+            over = rlo_seg[ci].astype(np.int64) + wslice[ci] \
+                - layout.nrows[ci]
+            max_over[ci] = max(max_over[ci], int(over.max(initial=0)))
         segments.append(SupSegment(nsteps=T, upd=upd_buckets,
-                                   fin=fin_buckets, V=V, W=Wn, perm=perm,
-                                   wstart=wstart, wend=wend, lo=lo))
+                                   fin=fin_buckets, rlo=rlo_seg,
+                                   wslice=tuple(wslice)))
 
-    cc64 = cc.astype(np.float64)
-    flops = float(np.sum(cc64 * cc64))
+    # pool slack so every window slice is in-bounds, + one dummy zero row
+    max_mc = max(config.chunk_classes) if with_updates else 0
+    nrows = (layout.nrows + max_over + max_mc + 8 + 1).astype(np.int64)
+    dummy = nrows - 1
+    for seg in segments:
+        for ub in seg.upd:
+            ub.bmap[ub.bmap < 0] = dummy[ub.kcls]
+
+    if cc is not None:
+        cc64 = cc.astype(np.float64)
+        flops = float(np.sum(cc64 * cc64))
+    else:
+        flops = float(n + 2 * (len(rows) - n))
+    if with_updates and len(cpair):
+        gemm_flops = float(np.sum(
+            2.0 * cmc * wpad[dd[cpair]] * wpad[ss[cpair]]))
+    else:
+        gemm_flops = 0.0
     return SupernodalPlan(n=n, layout=layout, lev=lev, nlev=nlev,
-                          segments=segments, flops=flops,
-                          window_slack=max_W + 8)
+                          nshards=G, segments=segments, flops=flops,
+                          gemm_flops=gemm_flops, nrows=nrows)

@@ -195,108 +195,138 @@ def build_partition(a: CSC, parent: np.ndarray, cc: np.ndarray,
 # --------------------------------------------------------------- layout
 
 @dataclasses.dataclass
-class BCSCLayout:
-    """Padded panel-pool layout of the supernodal factor.
+class ClassLayout:
+    """Width-class panel-pool layout of the supernodal factor (v2).
 
-    Panel of supernode s: shape (hpad[s], wpad[s]) row-major at pool offset
-    ``poff[s]``; logical entry L[rows[rptr[s]+r], sptr[s]+c] lives at
-    ``poff[s] + r * wpad[s] + c``.  The reference's BCSC (common/def.h:117)
-    stores the same data column-major unpadded.
+    One 2-D row pool per stored width class c: ``pool_c`` has shape
+    (nrows[ci], c) float32; supernode s of class ``cls[s]`` occupies rows
+    [rowoff[s], rowoff[s] + hpad[s]) of its class pool, row r of the panel
+    holding L[rows[rptr[s]+r], sptr[s]+k] at column k.  Panels are laid out
+    level-major and, within a level, sorted by height class, so
+
+    * each level's class-c panels form one contiguous row window
+      [rlo[ci][lev], rlo[ci][lev] + wrows[ci][lev]) — the executor's
+      update target and finalize slice;
+    * each (height-class) finalize bucket is a contiguous sub-slice.
+
+    The reference stores the same factor as column-major unpadded BCSC
+    (common/def.h:117); the row-pool form exists because TPU data movement
+    is only fast at row granularity (scripts/microbench2.py).
     """
     part: SupernodePartition
-    rptr: np.ndarray      # (nsuper+1,) row-pattern offsets
-    rows: np.ndarray      # (sum h,) global row ids per supernode, ascending
-    wpad: np.ndarray      # (nsuper,) padded (stored) width — a width class
-    hpad: np.ndarray      # (nsuper,) padded height
-    poff: np.ndarray      # (nsuper+1,) int64 pool offsets; poff[-1] = size+1
-    a_map: np.ndarray     # (nnz(A),) pool position of each A entry
-    l_map: np.ndarray     # (nnz(L),) pool position of each simplicial-L entry
+    classes: tuple            # stored width classes, ascending
+    rptr: np.ndarray          # (nsuper+1,) row-pattern offsets
+    rows: np.ndarray          # (sum h,) global row ids, ascending per panel
+    cls: np.ndarray           # (nsuper,) class index
+    wpad: np.ndarray          # (nsuper,) stored width  = classes[cls]
+    hpad: np.ndarray          # (nsuper,) stored rows (height class >= wpad)
+    rowoff: np.ndarray        # (nsuper,) int64 first row in the class pool
+    nrows: np.ndarray         # (ncls,) pool rows incl. slack + dummy row
+    lev: np.ndarray           # (nsuper,) wavefront level
+    rlo: np.ndarray           # (ncls, nlev) window start row
+    wrows: np.ndarray         # (ncls, nlev) true window rows
+    a_map: list               # per class: (2, k) [flat pool pos; a-data idx]
+    l_map: list               # per class: (2, k) [flat pool pos; l-nnz idx]
 
     @property
-    def pool_size(self) -> int:
-        """Pool length including the trailing dummy padding slot."""
-        return int(self.poff[-1])
+    def ncls(self) -> int:
+        return len(self.classes)
+
+    def pool_elems(self) -> int:
+        return int(sum(int(r) * c for r, c in zip(self.nrows, self.classes)))
 
 
-def _width_class(w: int, classes) -> int:
-    for c in classes:
-        if w <= c:
-            return c
-    raise ValueError(f"width {w} exceeds largest class {classes[-1]}")
+def _height_class(h: np.ndarray, base: np.ndarray) -> np.ndarray:
+    """Smallest base * 2^k >= h (vectorized ladder)."""
+    h8 = np.maximum(-(-h // 8) * 8, base)
+    k = np.ceil(np.log2(np.maximum(h8 / base, 1.0) - 1e-12))
+    return (base * np.power(2.0, np.maximum(k, 0))).astype(np.int64)
 
 
-def build_layout(lpat: sp.csc_matrix, a: CSC, part: SupernodePartition,
-                 width_classes=(8, 16, 32, 64, 128),
-                 height_unit: int = 8,
-                 panel_order: np.ndarray | None = None) -> BCSCLayout:
-    """Compute the supernodal row pattern and padded pool layout.
+def supernodal_rows(lpat: sp.csc_matrix,
+                    part: SupernodePartition) -> tuple:
+    """(rptr, rows): union of the simplicial column patterns per supernode
+    (the reference builds the same Ls by row-subtree walks,
+    Inspection_BlockC.h:684-752).  Vectorized as one sparse matmul."""
+    n = lpat.shape[0]
+    sel = sp.csc_matrix(
+        (np.ones(n, dtype=np.int8), part.col2sup,
+         np.arange(n + 1, dtype=np.int64)),
+        shape=(part.nsuper, n)).T  # (n, nsuper) column j -> supernode
+    u = (lpat @ sel).tocsc()
+    u.sort_indices()
+    rptr = u.indptr.astype(np.int64)
+    rows = u.indices.astype(IDX)
+    # amalgamation guarantee: the diag-block rows j1..j2-1 are all present
+    widths = np.diff(part.sptr)
+    assert np.all(np.diff(rptr) >= widths), "diag rows missing from pattern"
+    return rptr, rows
 
-    ``lpat`` is the simplicial factor pattern (from symbolic_pattern);
-    supernode rows = union of its columns' patterns (reference builds the
-    same Ls by row-subtree walks, Inspection_BlockC.h:684-752).
 
-    ``panel_order`` (a permutation of supernode ids) sets the order panels
-    are laid out in the pool; the scheduler passes level-major order so each
-    wavefront level's target panels form one contiguous pool window (the
-    scatter-free update trick in ops/supernodal.py).
-    """
+def build_class_layout(lpat: sp.csc_matrix, a: CSC,
+                       part: SupernodePartition, lev: np.ndarray,
+                       classes=(32, 128)) -> ClassLayout:
+    """Level-major per-class row-pool layout (see ClassLayout)."""
     n = lpat.shape[0]
     sptr, nsuper = part.sptr, part.nsuper
-    lptr = lpat.indptr.astype(np.int64)
-    lind = lpat.indices
+    classes = tuple(sorted(classes))
+    rptr, rows = supernodal_rows(lpat, part)
+    h = np.diff(rptr)
+    w = np.diff(sptr)
+    cls = np.searchsorted(np.asarray(classes), w)
+    if cls.max(initial=0) >= len(classes):
+        raise ValueError(f"width {w.max()} exceeds largest class")
+    wpad = np.asarray(classes)[cls].astype(np.int64)
+    hpad = _height_class(h, wpad)
 
-    rows_per_s: list[np.ndarray] = []
-    rptr = np.zeros(nsuper + 1, dtype=np.int64)
-    wpad = np.empty(nsuper, dtype=np.int64)
-    hpad = np.empty(nsuper, dtype=np.int64)
-    for s in range(nsuper):
-        j1, j2 = int(sptr[s]), int(sptr[s + 1])
-        # union of column patterns; first column usually contains the rest
-        seg = lind[lptr[j1]:lptr[j2]]
-        u = np.unique(seg)
-        # amalgamation guarantee: diagonal block rows j1..j2-1 all present
-        missing = np.setdiff1d(np.arange(j1, j2, dtype=u.dtype), u,
-                               assume_unique=True)
-        if len(missing):
-            u = np.union1d(u, missing)
-        rows_per_s.append(u.astype(IDX))
-        rptr[s + 1] = rptr[s] + len(u)
-        w = j2 - j1
-        wpad[s] = _width_class(w, width_classes)
-        hpad[s] = -(-len(u) // height_unit) * height_unit
-    rows = (np.concatenate(rows_per_s) if rows_per_s
-            else np.empty(0, dtype=IDX))
-    # pool offsets in panel_order (level-major when given)
-    order = (np.arange(nsuper) if panel_order is None
-             else np.asarray(panel_order))
-    sizes = hpad * wpad
-    poff = np.zeros(nsuper + 1, dtype=np.int64)
-    cum = 0
-    for s in order:
-        poff[s] = cum
-        cum += sizes[s]
-    poff[-1] = cum
-    # one extra dummy slot absorbs padded scatter lanes
-    poff_final = poff.copy()
-    poff_final[-1] += 1
+    nlev = int(lev.max(initial=-1)) + 1
+    ncls = len(classes)
+    rowoff = np.zeros(nsuper, dtype=np.int64)
+    rlo = np.zeros((ncls, nlev), dtype=np.int64)
+    wrows = np.zeros((ncls, nlev), dtype=np.int64)
+    nrows = np.zeros(ncls, dtype=np.int64)
+    for ci in range(ncls):
+        sel = np.nonzero(cls == ci)[0]
+        order = sel[np.lexsort((sel, hpad[sel], lev[sel]))]
+        sizes = hpad[order]
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        rowoff[order] = offs[:-1]
+        total = int(offs[-1])
+        # per-level window bounds: `order` is sorted by level, so each
+        # level is one contiguous run of panels
+        lv = lev[order]
+        lo_i = np.searchsorted(lv, np.arange(nlev))
+        hi_i = np.searchsorted(lv, np.arange(nlev) + 1)
+        nonempty = hi_i > lo_i
+        rlo[ci] = offs[np.minimum(lo_i, len(offs) - 1)]
+        wrows[ci] = np.where(nonempty,
+                             offs[np.minimum(hi_i, len(offs) - 1)]
+                             - rlo[ci], 0)
+        nrows[ci] = total  # slack added by the plan builder
 
-    # vectorized (supernode, row) -> position: the flat ``rows`` array is
-    # sorted under the key s * (n+1) + row, so one searchsorted resolves
-    # every entry at once
+    # (supernode, row) -> panel row position, fully vectorized
     sup_of_row = np.repeat(np.arange(nsuper, dtype=np.int64), np.diff(rptr))
     row_keys = sup_of_row * np.int64(n + 1) + rows.astype(np.int64)
 
-    def entry_pos(i: np.ndarray, j: np.ndarray) -> np.ndarray:
-        """pool positions of entries (i >= j) given per-entry arrays."""
+    def entry_pos(i, j):
+        """(class, flat pool position) of entries L[i, j] (i >= j)."""
         s = part.col2sup[j].astype(np.int64)
         r = np.searchsorted(row_keys, s * np.int64(n + 1) + i)
         assert np.all(rows[r] == i), "entry outside supernodal pattern"
-        return (poff[s] + (r - rptr[s]) * wpad[s]
+        flat = ((rowoff[s] + (r - rptr[s])) * wpad[s]
                 + (j - sptr[s])).astype(np.int64)
+        return cls[s], flat
 
     acol = np.repeat(np.arange(n, dtype=np.int64), np.diff(a.indptr))
-    a_map = entry_pos(a.indices.astype(np.int64), acol)
+    ac, aflat = entry_pos(a.indices.astype(np.int64), acol)
+    lptr = lpat.indptr.astype(np.int64)
     lcol = np.repeat(np.arange(n, dtype=np.int64), np.diff(lptr))
-    l_map = entry_pos(lind.astype(np.int64), lcol)
-    return BCSCLayout(part=part, rptr=rptr, rows=rows, wpad=wpad, hpad=hpad,
-                      poff=poff_final, a_map=a_map, l_map=l_map)
+    lc, lflat = entry_pos(lpat.indices.astype(np.int64), lcol)
+    a_map = [np.stack([aflat[ac == ci],
+                       np.nonzero(ac == ci)[0]]) for ci in range(ncls)]
+    l_map = [np.stack([lflat[lc == ci],
+                       np.nonzero(lc == ci)[0]]) for ci in range(ncls)]
+    return ClassLayout(part=part, classes=classes, rptr=rptr, rows=rows,
+                       cls=cls, wpad=wpad, hpad=hpad, rowoff=rowoff,
+                       nrows=nrows, lev=lev, rlo=rlo, wrows=wrows,
+                       a_map=a_map, l_map=l_map)

@@ -3,13 +3,13 @@
 Reference: cholesky/performanceModel.h — flop macros (OPS_GEMM/TRSM/PPF
 :19-21), machine-calibrated per-kernel time models (:26-88), per-supernode
 cost ``computeCostperBlock`` (:151) and schedule communication analysis
-``computeComCost`` (:194).  Here the "machine" is a TPU chip: each batched
-kernel is modeled as max(flop time on the MXU, byte time on HBM) plus a
-fixed launch overhead, and the schedule analysis reports per-segment
-modeled time, arithmetic intensity, and the padding efficiency of the
-inspector's bucketing — the quantities that tell you whether a slow
-factorization is a scheduling problem (too many sequential steps), a
-padding problem (wasted lanes), or physics (bandwidth-bound stream).
+``computeComCost`` (:194).  Here the "machine" is one TPU chip, calibrated
+from scripts/microbench2.py measurements (not datasheet numbers): row
+gathers and row scatters have their own element rates far below HBM
+bandwidth, contiguous window slices run at stream rate, and batched
+matmuls at the MXU rate.  The report tells you whether a slow
+factorization is a scheduling problem (steps), a padding problem (wasted
+lanes), or physics (gather-bound).
 """
 from __future__ import annotations
 
@@ -22,11 +22,13 @@ from parsy_bench_tpu.symbolic.splan import SupernodalPlan
 
 @dataclasses.dataclass(frozen=True)
 class ChipModel:
-    """Throughput constants of one chip (defaults: TPU v5e)."""
-    name: str = "tpu-v5e"
-    mxu_flops: float = 197e12 / 2    # f32 MACs/s via MXU (bf16 rate halved)
-    vpu_flops: float = 4e12          # elementwise f32
-    hbm_bytes: float = 8.1e11        # HBM bandwidth bytes/s
+    """Measured throughputs of one chip (defaults: the v5e-class chip
+    behind the axon tunnel, scripts/microbench2.py marginal rates)."""
+    name: str = "tpu-v5e-measured"
+    mxu_flops: float = 50e12         # sustained f32 batched-matmul flops/s
+    gather_eps: float = 14.8e9       # row-gather elements/s (128-wide)
+    scatter_eps: float = 10.9e9      # row-scatter-add elements/s
+    stream_bytes: float = 6e11       # contiguous slice copy bytes/s
     launch_s: float = 2e-6           # per-fused-kernel overhead
     step_s: float = 1e-5             # per scan-step sequential overhead
 
@@ -34,8 +36,8 @@ class ChipModel:
 @dataclasses.dataclass
 class KernelCost:
     label: str
-    flops: float          # useful padded flops executed
-    bytes: float          # HBM traffic (reads + writes)
+    flops: float          # padded flops executed
+    elems: float          # gather/scatter elements moved
     count: float          # batch lanes x steps
     model_s: float        # modeled time
 
@@ -76,40 +78,37 @@ def factorize_cost(plan: SupernodalPlan, chip: ChipModel | None = None,
     padded_flops = 0.0
     steps = 0
     total = 0.0
+    classes = plan.classes
     for si, seg in enumerate(plan.segments):
         T = seg.nsteps
         steps += T
         seg_t = chip.step_s * T
+        # window slice in/out per class
+        wbytes = 2.0 * dtype_bytes * T * sum(
+            seg.wslice[ci] * c for ci, c in enumerate(classes))
+        seg_t += wbytes / chip.stream_bytes + chip.launch_s * 2 * T
         for b in seg.upd:
-            G, _, P = b.a_start.shape
+            G, _, P = b.arow.shape
             lanes = G * T * P
-            fl = 2.0 * lanes * b.Mc * b.K * b.Q
-            by = dtype_bytes * lanes * (b.Mc * b.K + b.Q * b.K
-                                        + b.Mc * b.Q)
-            t = max(fl / 2 / chip.mxu_flops, by / chip.hbm_bytes) \
-                + chip.launch_s * T
+            fl = 2.0 * lanes * b.Mc * b.K * b.c
+            gat = lanes * (b.Mc * b.K + b.c * b.K)
+            sca = lanes * b.Mc * b.c
+            t = (fl / chip.mxu_flops + gat / chip.gather_eps
+                 + sca / chip.scatter_eps) + chip.launch_s * 3 * T
             kernels.append(KernelCost(
-                f"seg{si}:gemm{b.Mc}x{b.K}x{b.Q}", fl, by, lanes, t))
+                f"seg{si}:upd{b.Mc}x{b.K}->{b.c}", fl, gat + sca, lanes, t))
             padded_flops += fl
             seg_t += t
-        if seg.V:
-            # stream sort-gather + two-level prefix + window update
-            v = T * seg.V * seg.perm.shape[0]
-            by = dtype_bytes * v * 3 + 4 * v + dtype_bytes * T * seg.W * 3
-            t = by / chip.hbm_bytes + chip.launch_s * 4 * T
-            kernels.append(KernelCost(f"seg{si}:reduce", v, by, v, t))
-            seg_t += t
         for b in seg.fin:
-            _, P = b.base.shape
-            lanes = T * P
-            pot = lanes * b.Ws ** 3 / 3.0
-            trs = lanes * b.H * b.Ws ** 2
-            fl = pot + trs
-            by = dtype_bytes * lanes * b.H * b.Ws * 2
-            t = max(fl / 2 / chip.mxu_flops, by / chip.hbm_bytes) \
-                + chip.launch_s * 2 * T
+            lanes = T * b.P
+            chol = lanes * b.c ** 3 / 3.0 * 4.0   # blocked chol+inverse
+            trsm = 2.0 * lanes * b.H * b.c ** 2
+            fl = chol + trsm
+            by = dtype_bytes * lanes * b.H * b.c * 2
+            t = (fl / chip.mxu_flops + by / chip.stream_bytes
+                 + chip.launch_s * 4 * T)
             kernels.append(KernelCost(
-                f"seg{si}:panel{b.Ws}x{b.H}", fl, by, lanes, t))
+                f"seg{si}:fin{b.c}x{b.H}", fl, 0, lanes, t))
             padded_flops += fl
             seg_t += t
         total += seg_t
@@ -121,14 +120,17 @@ def factorize_cost(plan: SupernodalPlan, chip: ChipModel | None = None,
 def comm_cost(plan: SupernodalPlan, dtype_bytes: int = 4) -> dict:
     """Schedule communication analysis for the SPMD executor (reference:
     computeComCost, performanceModel.h:194 — intra/inter-partition
-    contribution volumes and edge cuts become psum volumes here)."""
-    G = plan.segments[0].perm.shape[0] if plan.segments else 1
-    psum_bytes = sum(seg.nsteps * seg.W * dtype_bytes
-                     for seg in plan.segments)
-    stream = sum(seg.nsteps * seg.V * G for seg in plan.segments)
+    contribution volumes and edge cuts become psum volumes here).  The
+    psum payload is the per-level delta window, contiguous on ICI."""
+    G = plan.nshards
+    psum_bytes = sum(seg.nsteps * dtype_bytes * sum(
+        (seg.wslice[ci] + 1) * c for ci, c in enumerate(plan.classes))
+        for seg in plan.segments if seg.upd)
+    lanes = sum(b.arow.shape[0] * seg.nsteps * b.arow.shape[2]
+                for seg in plan.segments for b in seg.upd)
     return {
         "partitions": G,
-        "psum_steps": sum(s.nsteps for s in plan.segments if s.V),
-        "psum_bytes_per_factorize": psum_bytes,
-        "contribution_stream_elems": stream,
+        "psum_steps": sum(s.nsteps for s in plan.segments if s.upd),
+        "psum_bytes_per_factorize": int(psum_bytes),
+        "update_lanes": int(lanes),
     }

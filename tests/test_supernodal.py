@@ -15,7 +15,7 @@ from parsy_bench_tpu.symbolic.etree import etree, postorder, tree_levels
 from parsy_bench_tpu.symbolic.colcounts import col_counts, symbolic_pattern
 from parsy_bench_tpu.symbolic.ordering import compute_ordering
 from parsy_bench_tpu.symbolic.supernodes import (
-    build_partition, build_layout, fundamental_supernodes)
+    build_class_layout, build_partition, fundamental_supernodes)
 
 
 MATS = ["tiny", "bcsstk14ish", "ecology_small", "apache_small"]
@@ -57,15 +57,32 @@ def test_layout_covers_pattern(name):
     ap, parent, cc = _prep(name)
     part = build_partition(ap, parent, cc)
     lpat = symbolic_pattern(ap, parent)
-    lay = build_layout(lpat, ap, part)
+    lev = tree_levels(part.sparent)
+    lay = build_class_layout(lpat, ap, part, lev)
     # diag block rows present and first
     for s in range(min(part.nsuper, 50)):
         j1, j2 = part.sptr[s], part.sptr[s + 1]
         rows = lay.rows[lay.rptr[s]:lay.rptr[s + 1]]
         assert np.all(rows[:j2 - j1] == np.arange(j1, j2))
         assert np.all(np.diff(rows) > 0)
-    # l_map covers the simplicial pattern injectively
-    assert len(np.unique(lay.l_map)) == len(lay.l_map) == lpat.nnz
+    # panels respect class geometry and fit their level windows
+    assert np.all(lay.hpad >= lay.wpad)
+    assert np.all(lay.hpad >= np.diff(lay.rptr))
+    for ci in range(lay.ncls):
+        sel = np.nonzero(lay.cls == ci)[0]
+        for s in sel[:50]:
+            t = lay.lev[s]
+            assert lay.rlo[ci, t] <= lay.rowoff[s]
+            assert (lay.rowoff[s] + lay.hpad[s]
+                    <= lay.rlo[ci, t] + lay.wrows[ci, t])
+    # l_map covers the simplicial pattern injectively across the pools
+    flat = [m[0] + sum(int(r) * c for r, c in
+                       zip(lay.nrows[:ci], lay.classes[:ci]))
+            for ci, m in enumerate(lay.l_map)]
+    allpos = np.concatenate(flat)
+    allsel = np.concatenate([m[1] for m in lay.l_map])
+    assert len(np.unique(allpos)) == len(allpos) == lpat.nnz
+    assert np.array_equal(np.sort(allsel), np.arange(lpat.nnz))
 
 
 def test_fundamental_supernodes_chain():
