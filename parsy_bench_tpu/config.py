@@ -39,6 +39,12 @@ class SolverConfig:
     #: update-chunk row classes (descending); each source chunk becomes one
     #: lane of a batched MXU einsum.
     chunk_classes: Tuple[int, ...] = (256, 64, 16)
+    #: padded overlap-width classes (ascending) for the update B operand.
+    q_classes: Tuple[int, ...] = (8, 32, 128)
+    #: scan-segmentation padding tolerance: close a segment when padding
+    #: every bucket to the running lane maxima would exceed this multiple
+    #: of the true work (ops/simplicial.py segment_levels).
+    segment_alpha: float = 1.25
     #: height granularity of panel padding (f32 sublane tile is 8).
     height_unit: int = 8
 

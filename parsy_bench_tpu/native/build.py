@@ -42,6 +42,7 @@ class NativeLib:
         dll.pbt_dag_levels.argtypes = [_c64, _I64, _I32, _I64]
         dll.pbt_cholesky_updates.argtypes = [_c64, _I64, _I32, _I32, _I32,
                                              _I32]
+        dll.pbt_amd_order.argtypes = [_c64, _I64, _I32, _I32]
 
     def etree(self, n, indptr, indices):
         parent = np.empty(n, dtype=np.int32)
@@ -94,6 +95,17 @@ class NativeLib:
         self._dll.pbt_dag_levels(n, np.ascontiguousarray(lptr, np.int64),
                                  np.ascontiguousarray(lind, np.int32), lev)
         return lev
+
+    def amd_order(self, full) -> np.ndarray:
+        """AMD ordering of a full symmetric scipy sparse matrix; returns
+        perm with perm[new] = old (reference: AMD.h:298 AMD_order)."""
+        m = full.tocsc()
+        n = m.shape[0]
+        perm = np.empty(n, dtype=np.int32)
+        self._dll.pbt_amd_order(
+            n, np.ascontiguousarray(m.indptr, np.int64),
+            np.ascontiguousarray(m.indices, np.int32), perm)
+        return perm
 
     def cholesky_updates(self, lptr, lind, total):
         n = len(lptr) - 1

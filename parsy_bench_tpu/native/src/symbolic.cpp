@@ -219,3 +219,244 @@ void pbt_cholesky_updates(int64_t n, const int64_t* lptr, const int32_t* lind,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Approximate minimum degree ordering (AMD, Amestoy–Davis–Duff).
+//
+// Replaces the SuperLU-MMD-via-numeric-LU stand-in (ordering.py
+// _mmd_via_superlu) with a real symbolic AMD; the reference vendors the
+// SuiteSparse implementation (cholesky/AMD.h:298 AMD_order) — this is an
+// independent quotient-graph implementation of the same algorithm:
+// supervariables, element absorption, and the ADD approximate external
+// degree  d_i = |A_i| + |Lp \ i| + sum_e |Le \ Lp|.
+//
+// Input: pattern of the FULL symmetric matrix (CSC indptr/indices; diagonal
+// entries ignored).  Output: perm with perm[new] = old.
+// ---------------------------------------------------------------------------
+
+#include <algorithm>
+
+namespace {
+
+struct AmdState {
+  int64_t n;
+  std::vector<std::vector<int32_t>> adjv;  // variable neighbours (vars)
+  std::vector<std::vector<int32_t>> adje;  // element neighbours (vars)
+  std::vector<std::vector<int32_t>> lvar;  // member vars (elements)
+  std::vector<int64_t> nv;       // supervariable size; 0 = dead/element
+  std::vector<char> iselem;      // node became an element (pivot)
+  std::vector<int64_t> deg;      // approximate external degree
+  std::vector<int64_t> w;        // per-element |Le \ Lp| scratch
+  std::vector<int64_t> wstamp;   // stamp for w validity
+  std::vector<int64_t> mark;     // Lp membership stamp
+  std::vector<int32_t> svnext;   // supervariable member chain
+  std::vector<int32_t> svtail;
+  // degree buckets (doubly linked)
+  std::vector<int32_t> bhead, bnext, bprev;
+  int64_t mindeg = 0;
+
+  explicit AmdState(int64_t n_)
+      : n(n_), adjv(n_), adje(n_), lvar(n_), nv(n_, 1), iselem(n_, 0),
+        deg(n_, 0), w(n_, 0), wstamp(n_, -1), mark(n_, -1),
+        svnext(n_, -1), svtail(n_), bhead(n_ + 1, -1), bnext(n_, -1),
+        bprev(n_, -1) {
+    for (int64_t i = 0; i < n_; ++i) svtail[i] = (int32_t)i;
+  }
+
+  void bucket_insert(int32_t i, int64_t d) {
+    if (d > n) d = n;
+    bnext[i] = bhead[d];
+    bprev[i] = -1;
+    if (bhead[d] != -1) bprev[bhead[d]] = i;
+    bhead[d] = i;
+    if (d < mindeg) mindeg = d;
+  }
+
+  void bucket_remove(int32_t i, int64_t d) {
+    if (d > n) d = n;
+    if (bprev[i] != -1) bnext[bprev[i]] = bnext[i];
+    else bhead[d] = bnext[i];
+    if (bnext[i] != -1) bprev[bnext[i]] = bprev[i];
+    bnext[i] = bprev[i] = -1;
+  }
+
+  bool var_alive(int32_t i) const { return nv[i] > 0 && !iselem[i]; }
+  bool elem_alive(int32_t e) const { return iselem[e] && nv[e] == -1; }
+};
+
+}  // namespace
+
+extern "C" void pbt_amd_order(int64_t n, const int64_t* ap,
+                              const int32_t* ai, int32_t* perm) {
+  AmdState st(n);
+  // initial adjacency (variables only), degrees = exact external degree
+  for (int64_t j = 0; j < n; ++j) {
+    auto& l = st.adjv[j];
+    l.reserve(ap[j + 1] - ap[j]);
+    for (int64_t p = ap[j]; p < ap[j + 1]; ++p)
+      if (ai[p] != j) l.push_back(ai[p]);
+    std::sort(l.begin(), l.end());
+    l.erase(std::unique(l.begin(), l.end()), l.end());
+    st.deg[j] = (int64_t)l.size();
+  }
+  for (int64_t j = 0; j < n; ++j) st.bucket_insert((int32_t)j, st.deg[j]);
+
+  std::vector<int32_t> Lp;
+  std::vector<int32_t> touched_elems;
+  std::vector<int32_t> hash_bucket_ids;
+  std::vector<int64_t> hash_of(n, 0);
+  int64_t stamp = 0;
+  int64_t k = 0;
+
+  auto elem_size = [&](int32_t e) {
+    // live supervariable mass of an element, compacting dead members
+    auto& lv = st.lvar[e];
+    int64_t sz = 0;
+    size_t out = 0;
+    for (size_t q = 0; q < lv.size(); ++q) {
+      int32_t v = lv[q];
+      if (st.var_alive(v)) {
+        lv[out++] = v;
+        sz += st.nv[v];
+      }
+    }
+    lv.resize(out);
+    return sz;
+  };
+
+  while (k < n) {
+    // ---- pick min-degree supervariable ------------------------------
+    while (st.mindeg <= n && st.bhead[st.mindeg] == -1) ++st.mindeg;
+    int32_t p = st.bhead[st.mindeg];
+    st.bucket_remove(p, st.deg[p]);
+
+    // ---- build Lp = (A_p u union Le) \ dead, p ----------------------
+    ++stamp;
+    st.mark[p] = stamp;
+    Lp.clear();
+    for (int32_t j : st.adjv[p])
+      if (st.var_alive(j) && st.mark[j] != stamp) {
+        st.mark[j] = stamp;
+        Lp.push_back(j);
+      }
+    for (int32_t e : st.adje[p])
+      if (st.elem_alive(e)) {
+        for (int32_t j : st.lvar[e])
+          if (st.var_alive(j) && st.mark[j] != stamp) {
+            st.mark[j] = stamp;
+            Lp.push_back(j);
+          }
+        st.nv[e] = 0;  // absorbed into p
+        st.lvar[e].clear();
+        st.lvar[e].shrink_to_fit();
+      }
+
+    // ---- emit p's members, turn p into an element -------------------
+    int64_t nvpiv = st.nv[p];
+    for (int32_t v = p; v != -1; v = st.svnext[v]) perm[k++] = v;
+    st.iselem[p] = 1;
+    st.nv[p] = -1;  // element-alive marker
+    st.adjv[p].clear();
+    st.adjv[p].shrink_to_fit();
+    st.adje[p].clear();
+    st.adje[p].shrink_to_fit();
+    st.lvar[p].assign(Lp.begin(), Lp.end());
+    int64_t sizeLp = 0;
+    for (int32_t i : Lp) sizeLp += st.nv[i];
+    if (Lp.empty()) {
+      st.nv[p] = 0;  // fully eliminated element, nothing to scan
+      continue;
+    }
+
+    // ---- w[e] = |Le \ Lp| for elements adjacent to Lp ---------------
+    touched_elems.clear();
+    for (int32_t i : Lp)
+      for (int32_t e : st.adje[i]) {
+        if (!st.elem_alive(e)) continue;
+        if (st.wstamp[e] != stamp) {
+          st.wstamp[e] = stamp;
+          st.w[e] = elem_size(e);
+          touched_elems.push_back(e);
+        }
+        st.w[e] -= st.nv[i];
+      }
+    // aggressive absorption: Le subset of Lp -> e dies
+    for (int32_t e : touched_elems)
+      if (st.w[e] == 0) {
+        st.nv[e] = 0;
+        st.lvar[e].clear();
+        st.lvar[e].shrink_to_fit();
+      }
+
+    // ---- update every i in Lp ---------------------------------------
+    hash_bucket_ids.clear();
+    for (int32_t i : Lp) {
+      // prune A_i: drop dead vars and vars covered by the new element
+      auto& av = st.adjv[i];
+      size_t out = 0;
+      int64_t dav = 0;
+      for (size_t q = 0; q < av.size(); ++q) {
+        int32_t j = av[q];
+        if (!st.var_alive(j) || st.mark[j] == stamp) continue;
+        av[out++] = j;
+        dav += st.nv[j];
+      }
+      av.resize(out);
+      // prune E_i, sum w, append p
+      auto& ae = st.adje[i];
+      out = 0;
+      int64_t del = 0;
+      for (size_t q = 0; q < ae.size(); ++q) {
+        int32_t e = ae[q];
+        if (!st.elem_alive(e)) continue;
+        ae[out++] = e;
+        del += (st.wstamp[e] == stamp ? st.w[e] : elem_size(e));
+      }
+      ae.resize(out);
+      ae.push_back(p);
+      // approximate external degree
+      int64_t d = dav + (sizeLp - st.nv[i]) + del;
+      int64_t cap1 = n - k - st.nv[i];
+      int64_t cap2 = st.deg[i] + (sizeLp - st.nv[i]);
+      if (d > cap1) d = cap1;
+      if (d > cap2) d = cap2;
+      if (d < 0) d = 0;
+      st.bucket_remove(i, st.deg[i]);
+      st.deg[i] = d;
+      st.bucket_insert(i, d);
+      if (st.mindeg > d) st.mindeg = d;
+      // supervariable hash over (A_i, E_i)
+      int64_t h = 0;
+      for (int32_t j : av) h += j;
+      for (int32_t e : ae) h += e;
+      hash_of[i] = h;
+      hash_bucket_ids.push_back(i);
+    }
+
+    // ---- supervariable detection within Lp ---------------------------
+    // compare pairs with equal hashes; merge exact matches
+    std::sort(hash_bucket_ids.begin(), hash_bucket_ids.end(),
+              [&](int32_t a, int32_t b) { return hash_of[a] < hash_of[b]; });
+    for (size_t a = 0; a + 1 < hash_bucket_ids.size(); ++a) {
+      int32_t i = hash_bucket_ids[a];
+      if (!st.var_alive(i)) continue;
+      for (size_t b = a + 1; b < hash_bucket_ids.size()
+           && hash_of[hash_bucket_ids[b]] == hash_of[i]; ++b) {
+        int32_t j = hash_bucket_ids[b];
+        if (!st.var_alive(j)) continue;
+        if (st.adjv[i] == st.adjv[j] && st.adje[i] == st.adje[j]) {
+          // merge j into i
+          st.bucket_remove(j, st.deg[j]);
+          st.nv[i] += st.nv[j];
+          st.nv[j] = 0;
+          st.svnext[st.svtail[i]] = j;
+          st.svtail[i] = st.svtail[j];
+          st.adjv[j].clear();
+          st.adjv[j].shrink_to_fit();
+          st.adje[j].clear();
+          st.adje[j].shrink_to_fit();
+        }
+      }
+    }
+  }
+}

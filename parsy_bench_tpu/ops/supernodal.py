@@ -56,7 +56,8 @@ class SupernodalExecutor:
         self._seg_xs = []
         for seg in plan.segments:
             upd = [dict(arow=jnp.asarray(b.arow.transpose(1, 0, 2)),
-                        bmap=jnp.asarray(b.bmap.transpose(1, 0, 2, 3)),
+                        brow=jnp.asarray(b.brow.transpose(1, 0, 2)),
+                        colq=jnp.asarray(b.colq.transpose(1, 0, 2, 3)),
                         dst=jnp.asarray(b.dst.transpose(1, 0, 2, 3)))
                    for b in seg.upd]
             fin = [dict(cnt=jnp.asarray(b.cnt), boff=jnp.asarray(b.boff),
@@ -94,10 +95,17 @@ class SupernodalExecutor:
             G = xs["arow"].shape[0]
             for g in range(G):
                 A = pools[b.kcls][xs["arow"][g][:, None] + _iota(b.Mc)]
-                B = pools[b.kcls][xs["bmap"][g]]
-                C = jnp.einsum("pmk,pck->pmc", A, B,
+                Braw = pools[b.kcls][xs["brow"][g][:, None] + _iota(b.Q)]
+                Chat = jnp.einsum("pmk,pqk->pmq", A, Braw,
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  preferred_element_type=self.dtype)
+                # column alignment as an on-the-fly one-hot MXU matmul:
+                # S[p, c_, q] = (colq[p, q] == c_)
+                S = (_iota(b.c)[None, :, None]
+                     == xs["colq"][g][:, None, :]).astype(self.dtype)
+                C = jnp.einsum("pmq,pcq->pmc", Chat, S,
                                precision=jax.lax.Precision.HIGHEST,
-                   preferred_element_type=self.dtype)
+                               preferred_element_type=self.dtype)
                 deltas[b.ccls] = deltas[b.ccls].at[xs["dst"][g]].add(C)
         if axis_name is not None:
             deltas = [jax.lax.psum(d, axis_name) for d in deltas]

@@ -68,7 +68,7 @@ class ShardedSupernodalExecutor:
         rep = P()
         seg_specs = []
         for seg in plan.segments:
-            upd = [dict(arow=shard, bmap=shard, dst=shard)
+            upd = [dict(arow=shard, brow=shard, colq=shard, dst=shard)
                    for _ in seg.upd]
             fin = [dict(cnt=rep, boff=rep, w=rep, cols0=rep, rows=rep)
                    for _ in seg.fin]

@@ -52,14 +52,25 @@ class UpdBucket:
 
     Update tables lead with a shard axis G (the w-partition owner axis,
     SURVEY P2; G=1 unsharded), then the step axis T, then lanes P.
+
+    The executor computes, per lane,
+        C_hat = A @ B_raw^T            (Mc, Q)  MXU
+        C     = C_hat @ S^T            (Mc, c)  MXU, S one-hot from colq
+    where A is the chunk's Mc contiguous source rows, B_raw the pair's Q
+    contiguous overlap rows, and S the (c, Q) column-alignment selector
+    generated on the fly — alignment costs MXU flops instead of gathering
+    a dest-width-padded operand (the overlap q is typically << c).
     """
     kcls: int            # source width-class index
     K: int               # source stored width (= classes[kcls])
     ccls: int            # target width-class index
     c: int               # target stored width
     Mc: int              # chunk row count
+    Q: int               # padded overlap width (q-class)
     arow: np.ndarray     # (G, T, P) int32 first source row in pool_kcls
-    bmap: np.ndarray     # (G, T, P, c) int32 source rows of B~; pad -> dummy
+    brow: np.ndarray     # (G, T, P) int32 first overlap row in pool_kcls
+    colq: np.ndarray     # (G, T, P, Q) int32 target column of each overlap
+    #                      row; pad -> c (matches nothing)
     dst: np.ndarray      # (G, T, P, Mc) int32 delta-local target row;
     #                      pad -> the delta dummy row (= wslice[ccls])
 
@@ -253,40 +264,51 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
                           - layout.rlo[cls[ss[pair_of]],
                                        lev[ss[pair_of]]]).astype(np.int64)
         pr_off = _cumsum0(mm)          # pair -> flat row range
-        # B~ fill entries: first q rows of each pair
+        # overlap columns: first q rows of each pair -> target column pos
         bsel = intra < qq[pair_of]
-        b_pair = pair_of[bsel]
-        b_colpos = (rv[bsel] - sptr[ss[b_pair]]).astype(np.int64)
-        b_srow = (rowoff[dd[b_pair]] + lb[b_pair]
-                  + intra[bsel]).astype(np.int64)
-        bq_off = _cumsum0(qq)          # pair -> flat b range
+        b_colpos = (rv[bsel] - sptr[ss[pair_of[bsel]]]).astype(np.int64)
+        bq_off = _cumsum0(qq)          # pair -> flat colpos range
+        # q-classes (padded overlap widths)
+        qcls_ladder = np.asarray(config.q_classes)
+        if len(qq) and qcls_ladder[-1] < qq.max():
+            raise ValueError(
+                f"q_classes must cover the widest overlap ({qq.max()})")
+        q_idx = np.searchsorted(qcls_ladder, qq)
+        qpad = qcls_ladder[q_idx]
         # chunks
         cpair, cmc, coff, cmtrue = _chunk_pairs(mm, config.chunk_classes)
         ck = cls[dd[cpair]]
         cc_t = cls[ss[cpair]]
         clev = lev[ss[cpair]]
-        # bucket id: (kcls, ccls, mc-class index)
+        # bucket id: (kcls, ccls, mc-class, q-class)
         mc_idx = np.searchsorted(-np.asarray(config.chunk_classes), -cmc)
-        cbucket = (ck * ncls + cc_t) * len(config.chunk_classes) + mc_idx
-        nbuckets = ncls * ncls * len(config.chunk_classes)
+        nq = len(config.q_classes)
+        cbucket = (((ck * ncls + cc_t) * len(config.chunk_classes)
+                    + mc_idx) * nq + q_idx[cpair])
+        nbuckets = ncls * ncls * len(config.chunk_classes) * nq
     else:
         cpair = np.zeros(0, dtype=np.int64)
 
     # ------------------------------------------------- level statistics
+    # per-level lane counts PER BUCKET KEY: segments pad each bucket's
+    # lane axis to the segment max, so segmentation must see the exact
+    # quantities that get padded (the LBC coarsening trade-off: fewer
+    # scans vs padded lanes; reference getCoarseLevelSet_6's cost vs
+    # parallelism balance, InspectionLevel_06.h:18)
     fin_cnt_cls = np.zeros((ncls, nlev), dtype=np.int64)
     for ci in range(ncls):
         np.add.at(fin_cnt_cls[ci], lev[cls == ci], 1)
-    chunk_cnt = np.zeros(nlev, dtype=np.int64)
-    chunk_vol = np.zeros(nlev, dtype=np.float64)
     if len(cpair):
-        np.add.at(chunk_cnt, clev, 1)
-        np.add.at(chunk_vol, clev, (cmc * wpad[dd[cpair]]).astype(
-            np.float64))
+        bcnt = np.zeros((nlev, nbuckets), dtype=np.float64)
+        lane_cost = (cmc * (wpad[dd[cpair]] + wpad[ss[cpair]])
+                     ).astype(np.float64) / 64.0
+        np.add.at(bcnt, (clev, cbucket), lane_cost)
+    else:
+        bcnt = np.zeros((nlev, 0), dtype=np.float64)
     wr = layout.wrows.astype(np.float64)
-    stats = np.concatenate([
-        chunk_cnt[:, None], chunk_vol[:, None] / 256.0,
-        fin_cnt_cls.T, wr.T / 64.0], axis=1)
-    segs = segment_levels(stats, alpha=1.6, slack=8.0) if nlev else []
+    stats = np.concatenate([bcnt, fin_cnt_cls.T, wr.T / 64.0], axis=1)
+    segs = segment_levels(stats, alpha=float(config.segment_alpha),
+                          slack=4.0) if nlev else []
 
     # --------------------------------------------- per-segment emission
     dummy_row = [int(layout.nrows[ci]) for ci in range(ncls)]  # set later
@@ -355,34 +377,36 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
             seg_sel = np.nonzero(cseg == si)[0]
             for b in np.unique(cbucket[seg_sel]):
                 bi = seg_sel[cbucket[seg_sel] == b]
+                pb = cpair[bi]
                 kcls = int(ck[bi[0]])
                 ccls = int(cc_t[bi[0]])
                 Mc = int(cmc[bi[0]])
+                Q = int(qpad[pb[0]])
                 K = classes[kcls]
                 c = classes[ccls]
                 P = int(lane[bi].max()) + 1
-                arow = np.full((G, T, P), 0, dtype=np.int32)
-                bmap = np.full((G, T, P, c), -1, dtype=np.int32)
+                arow = np.zeros((G, T, P), dtype=np.int32)
+                brow = np.zeros((G, T, P), dtype=np.int32)
+                colq = np.full((G, T, P, Q), c, dtype=np.int32)
                 dstt = np.full((G, T, P, Mc), wslice[ccls] + 0,
                                dtype=np.int32)
                 gg = gshard[bi]
                 tt = clev[bi] - t0
                 ll = lane[bi]
-                arow[gg, tt, ll] = (rowoff[dd[cpair[bi]]]
-                                    + lb[cpair[bi]] + coff[bi])
+                arow[gg, tt, ll] = rowoff[dd[pb]] + lb[pb] + coff[bi]
+                brow[gg, tt, ll] = rowoff[dd[pb]] + lb[pb]
                 # dst rows: mtrue entries per chunk from the flat map
-                fstart = pr_off[cpair[bi]] + coff[bi]
+                fstart = pr_off[pb] + coff[bi]
                 fr, owner, intra_c = _expand(fstart, cmtrue[bi])
                 dstt[gg[owner], tt[owner], ll[owner], intra_c] = \
                     dst_local_flat[fr]
-                # B~ rows: q entries per chunk (per pair, replicated)
-                qb = qq[cpair[bi]]
-                br, owner_b, _ = _expand(bq_off[cpair[bi]], qb)
-                bmap[gg[owner_b], tt[owner_b], ll[owner_b],
-                     b_colpos[br]] = b_srow[br]
+                # overlap target columns: q entries per chunk
+                br, owner_b, intra_b = _expand(bq_off[pb], qq[pb])
+                colq[gg[owner_b], tt[owner_b], ll[owner_b], intra_b] = \
+                    b_colpos[br]
                 upd_buckets.append(UpdBucket(
-                    kcls=kcls, K=K, ccls=ccls, c=c, Mc=Mc,
-                    arow=arow, bmap=bmap, dst=dstt))
+                    kcls=kcls, K=K, ccls=ccls, c=c, Mc=Mc, Q=Q,
+                    arow=arow, brow=brow, colq=colq, dst=dstt))
 
         for ci in range(ncls):
             over = rlo_seg[ci].astype(np.int64) + wslice[ci] \
@@ -392,13 +416,10 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
                                    fin=fin_buckets, rlo=rlo_seg,
                                    wslice=tuple(wslice)))
 
-    # pool slack so every window slice is in-bounds, + one dummy zero row
-    max_mc = max(config.chunk_classes) if with_updates else 0
+    # pool slack so every window slice and padded gather is in-bounds
+    max_mc = max(max(config.chunk_classes), max(config.q_classes)) \
+        if with_updates else 0
     nrows = (layout.nrows + max_over + max_mc + 8 + 1).astype(np.int64)
-    dummy = nrows - 1
-    for seg in segments:
-        for ub in seg.upd:
-            ub.bmap[ub.bmap < 0] = dummy[ub.kcls]
 
     if cc is not None:
         cc64 = cc.astype(np.float64)
@@ -406,8 +427,9 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
     else:
         flops = float(n + 2 * (len(rows) - n))
     if with_updates and len(cpair):
+        qp = qpad[cpair]
         gemm_flops = float(np.sum(
-            2.0 * cmc * wpad[dd[cpair]] * wpad[ss[cpair]]))
+            2.0 * cmc * qp * (wpad[dd[cpair]] + wpad[ss[cpair]])))
     else:
         gemm_flops = 0.0
     return SupernodalPlan(n=n, layout=layout, lev=lev, nlev=nlev,

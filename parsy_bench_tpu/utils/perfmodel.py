@@ -90,13 +90,14 @@ def factorize_cost(plan: SupernodalPlan, chip: ChipModel | None = None,
         for b in seg.upd:
             G, _, P = b.arow.shape
             lanes = G * T * P
-            fl = 2.0 * lanes * b.Mc * b.K * b.c
-            gat = lanes * (b.Mc * b.K + b.c * b.K)
+            fl = 2.0 * lanes * b.Mc * b.Q * (b.K + b.c)
+            gat = lanes * (b.Mc + b.Q) * b.K
             sca = lanes * b.Mc * b.c
             t = (fl / chip.mxu_flops + gat / chip.gather_eps
                  + sca / chip.scatter_eps) + chip.launch_s * 3 * T
             kernels.append(KernelCost(
-                f"seg{si}:upd{b.Mc}x{b.K}->{b.c}", fl, gat + sca, lanes, t))
+                f"seg{si}:upd{b.Mc}x{b.K}q{b.Q}->{b.c}",
+                fl, gat + sca, lanes, t))
             padded_flops += fl
             seg_t += t
         for b in seg.fin:

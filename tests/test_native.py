@@ -72,3 +72,31 @@ def test_colcounts_pattern_match(mat, monkeypatch):
     assert np.array_equal(symbolic.col_counts(mat, parent), ref_cc)
     got_pat = symbolic.symbolic_pattern(mat, parent)
     assert (ref_pat != got_pat).nnz == 0
+
+
+def test_amd_order_quality():
+    """Native AMD (symbolic.cpp pbt_amd_order, reference AMD.h:298): valid
+    permutation, and fill within 25% of the SuperLU-MMD oracle."""
+    import numpy as np
+    from parsy_bench_tpu.native import lib
+    if lib is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    from parsy_bench_tpu.core import generate
+    from parsy_bench_tpu.symbolic.etree import etree
+    from parsy_bench_tpu.symbolic.colcounts import col_counts
+    from parsy_bench_tpu.symbolic.ordering import (_mmd_via_superlu,
+                                                   check_permutation)
+    for name in ["bcsstk14ish", "ecology_small", "apache_small"]:
+        a = generate.SUITE[name]()
+        full = a.symmetrize_from_lower().to_scipy().tocsc()
+        perm = lib.amd_order(full)
+        check_permutation(perm, a.n)
+
+        def fill(p):
+            ap = a.permute(p)
+            return int(col_counts(ap, etree(ap)).sum())
+
+        f_amd = fill(perm)
+        f_mmd = fill(_mmd_via_superlu(full))
+        assert f_amd <= 1.25 * f_mmd, (name, f_amd, f_mmd)
