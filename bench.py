@@ -61,6 +61,15 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     median = sorted(times)[len(times) // 2]
 
+    # correctness gate: a fast-but-wrong factorization must not score.
+    # Reference bar: factor values vs CHOLMOD within 1e-3
+    # (choleskyTest01.cpp:538-546); here the Frobenius factor residual.
+    solver.lx = lx
+    residual = solver.factor_residual()
+    if not (residual < 1e-3):
+        raise SystemExit(f"factor residual {residual:.3e} exceeds 1e-3 "
+                         f"— benchmark invalid")
+
     flops = solver.plan.flops
     gflops = flops / median / 1e9
     ref_time = flops * _REF_SEC_PER_FLOP / _REF_THREADS
@@ -69,6 +78,7 @@ def main() -> None:
         "value": round(gflops, 4),
         "unit": "GFLOP/s",
         "vs_baseline": round(ref_time / median, 4),
+        "factor_residual": round(residual, 9),
     }))
 
 

@@ -53,6 +53,9 @@ class CholeskySolver:
             from parsy_bench_tpu.symbolic.splan import build_supernodal_plan
             self.plan = build_supernodal_plan(
                 self.ap, self.parent, self.cc, self.lpat, self.config)
+            if self.config.verify:
+                from parsy_bench_tpu.symbolic.verify import verify_plan
+                verify_plan(self.plan)
             self.executor = SupernodalExecutor(self.plan,
                                                dtype=self.config.dtype)
         else:
@@ -140,6 +143,42 @@ class CholeskySolver:
                              "cc": self.cc},
                       meta={"n": self.a.n, "nnz": self.a.nnz,
                             "tier": self.config.tier})
+
+    @classmethod
+    def from_artifact(cls, a: CSC, path: str,
+                      config: SolverConfig | None = None) -> "CholeskySolver":
+        """Restore a solver from a saved analysis, skipping the whole
+        inspector (ordering, symbolic, plan emission) — the resume half of
+        the reference's cacheable-symbolic contract (common/Util.h:187,
+        LSparsity.h:446 GIVEN path).  ``a`` must have the sparsity pattern
+        the analysis was computed for; only its numeric values are used."""
+        from parsy_bench_tpu.core.io import load_artifact
+        obj, meta = load_artifact(path)
+        if meta.get("n") != a.n or meta.get("nnz") != a.lower_half().nnz:
+            raise ValueError(
+                f"artifact is for n={meta.get('n')}/nnz={meta.get('nnz')}, "
+                f"matrix has n={a.n}")
+        self = cls.__new__(cls)
+        self.config = (config or SolverConfig()).replace(
+            tier=meta.get("tier", "supernodal"))
+        self.a = a if a.is_lower() else a.lower_half()
+        self.perm = obj["perm"]
+        self.ap = self.a.permute(self.perm)
+        self.parent = obj["parent"]
+        self.cc = obj["cc"]
+        self.lpat = obj["lpat"]
+        self.plan = obj["plan"]
+        if self.config.tier == "supernodal":
+            from parsy_bench_tpu.ops.supernodal import SupernodalExecutor
+            self.executor = SupernodalExecutor(self.plan,
+                                               dtype=self.config.dtype)
+        else:
+            self.executor = SimplicialExecutor(self.plan,
+                                               dtype=self.config.dtype)
+        self.lx = None
+        self._inv = np.empty(a.n, dtype=np.int64)
+        self._inv[self.perm] = np.arange(a.n)
+        return self
 
 
 class TriangularSolver:
