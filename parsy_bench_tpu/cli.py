@@ -69,8 +69,10 @@ def cmd_cholesky(args) -> None:
     analyze_s = time.perf_counter() - t0
     data = s.ap.data.astype(np.float32 if args.dtype == "float32"
                             else np.float64)
+    t0 = time.perf_counter()
     s.factorize()
     jax.block_until_ready(s.lx)
+    compile_s = time.perf_counter() - t0
     times = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
@@ -84,6 +86,7 @@ def cmd_cholesky(args) -> None:
         "n": a.n, "nnz_a": a.nnz,
         "tier": args.tier, "ordering": args.ordering, "dtype": args.dtype,
         "analyze_s": round(analyze_s, 4),
+        "compile_s": round(compile_s, 3),
         "factorize_median_s": round(med, 6),
         "iters": args.iters,
     }
@@ -92,6 +95,8 @@ def cmd_cholesky(args) -> None:
         out["gflops"] = round(s.plan.flops / med / 1e9, 3)
         out["nlev"] = s.plan.nlev
         out["nsuper"] = s.plan.layout.part.nsuper
+        out["table_mb"] = round(s.plan.table_bytes() / 1e6, 1)
+        out["pool_mb"] = round(s.plan.pool_elems() * 4 / 1e6, 1)
         if args.profile:
             rep = factorize_cost(s.plan)
             out["model"] = rep.summary()

@@ -4,11 +4,12 @@ vector ops (VPU) only.
 XLA's ``jnp.linalg.cholesky`` / ``lax.linalg.triangular_solve`` lower to
 element-serialized loops on TPU (measured ~1ms per step for a 64-lane
 128x128 batch — scripts/microbench2.py), so the supernodal executor uses
-these instead: a recursive-bisection blocked Cholesky that produces the
-triangular **inverse** alongside the factor, turning every TRSM into a
-GEMM.  This plays the role of the reference's dpotrf/dtrsm calls
-(cholesky/parallel_PB_Cholesky_05.h:204,218) and of its hand-rolled
-fallback BLAS (cholesky/MyBLAS.h:10, triangularSolve/BLAS.h:8).
+these instead: a flat panel-loop blocked Cholesky that produces the
+triangular **inverse** alongside the factor (via the finite Neumann
+product), turning every TRSM into a GEMM.  This plays the role of the
+reference's dpotrf/dtrsm calls (cholesky/parallel_PB_Cholesky_05.h:204,218)
+and of its hand-rolled fallback BLAS (cholesky/MyBLAS.h:10,
+triangularSolve/BLAS.h:8).
 
 All kernels are batched over a leading ``P`` axis and assume the input is
 a *masked* SPD block: rows/columns beyond the logical width carry an
@@ -20,8 +21,41 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-#: unrolled base-case width (f32 sublane tile is 8)
-_BASE = 8
+#: panel width of the flat blocked Cholesky (rank-1 chain length per panel)
+_PANEL = 16
+
+
+def _tril_mask(c, k=0):
+    i = jax.lax.broadcasted_iota(jnp.int32, (1, c, c), 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, c, c), 2)
+    return j <= i + k
+
+
+def nilpotent_inv(L):
+    """Triangular inverse via the finite Neumann product.
+
+    For lower-triangular L (P, c, c) with nonzero diagonal (identity on
+    padded entries), write L = D(I + N) with N strictly lower, so N^c = 0
+    and (I + N)^{-1} = sum_k (-N)^k = prod_j (I + M^(2^j)), M = -N —
+    log2(c) squarings + products, all MXU matmuls, replacing the
+    element-serialized forward substitution of the reference's dtrsm
+    (parallel_PB_Cholesky_05.h:218)."""
+    P, c, _ = L.shape
+    dt = L.dtype
+    d = jnp.diagonal(L, axis1=1, axis2=2)                 # (P, c)
+    M = -(L / d[:, :, None])                              # -D^{-1} L
+    M = jnp.where(_tril_mask(c, -1), M, 0)                # strictly lower
+    acc = jnp.eye(c, dtype=dt)[None] + M
+    k = 2
+    while k < c:
+        M = jnp.einsum("pij,pjk->pik", M, M,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=dt)
+        acc = acc + jnp.einsum("pij,pjk->pik", acc, M,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=dt)
+        k *= 2
+    return acc / d[:, None, :]                            # (I+N)^{-1} D^{-1}
 
 
 def masked_spd(D, w, c, dtype):
@@ -38,68 +72,52 @@ def masked_spd(D, w, c, dtype):
     return D + eye_pad
 
 
-def _chol_inv_base(D):
-    """Unrolled 8x8 batched Cholesky + inverse.
-
-    D: (P, 8, 8) SPD (masked).  Returns (L, Linv), both (P, 8, 8) lower
-    triangular.  ~8 rank-1 updates + 28 fused MACs on the VPU.
-    """
-    P = D.shape[0]
-    dt = D.dtype
-    n = D.shape[-1]
+def _chol_panel(D, pw):
+    """Unrolled rank-1 Cholesky chain for a (P, pw, pw) masked SPD block."""
+    n = pw
     cols = []
+    ar = jnp.arange(n)
     for j in range(n):
         d = jnp.sqrt(D[:, j, j])
-        c = D[:, :, j] / d[:, None]                       # (P, n)
-        mask = (jnp.arange(n) >= j)
-        c = c * mask
-        cols.append(c)
-        D = D - c[:, :, None] * c[:, None, :]
-    L = jnp.stack(cols, axis=2)                           # (P, n, n) lower
-    # forward substitution against I: row j of Linv
-    rows = []
-    for j in range(n):
-        e = jnp.zeros((P, n), dt).at[:, j].set(1.0)
-        acc = e
-        for k in range(j):
-            acc = acc - L[:, j, k][:, None] * rows[k]
-        rows.append(acc / L[:, j, j][:, None])
-    Linv = jnp.stack(rows, axis=1)
-    return L, Linv
+        cvec = (D[:, :, j] / d[:, None]) * (ar >= j)
+        cols.append(cvec)
+        D = D - cvec[:, :, None] * cvec[:, None, :]
+    return jnp.stack(cols, axis=2)
 
 
 def cholesky_inverse(D):
     """Batched blocked Cholesky with inverse: D (P, c, c) masked SPD ->
-    (L, Linv) lower triangular, pure matmuls + the unrolled base.
+    (L, Linv) lower triangular.
 
-    Recursive bisection: for D = [[D11, .], [D21, D22]],
-        L11, iL11 = chol(D11);  L21 = D21 @ iL11^T
-        L22, iL22 = chol(D22 - L21 @ L21^T)
-        iL21 = -iL22 @ L21 @ iL11
-    """
-    c = D.shape[-1]
-    if c <= _BASE:
-        return _chol_inv_base(D)
-    h = c // 2
-    L11, iL11 = cholesky_inverse(D[:, :h, :h])
-    L21 = jnp.einsum("pij,pkj->pik", D[:, h:, :h], iL11,
-                     precision=jax.lax.Precision.HIGHEST,
-                   preferred_element_type=D.dtype)
-    S = D[:, h:, h:] - jnp.einsum("pik,pjk->pij", L21, L21,
-                                  precision=jax.lax.Precision.HIGHEST,
-                   preferred_element_type=D.dtype)
-    L22, iL22 = cholesky_inverse(S)
-    iL21 = -jnp.einsum("pij,pjk,pkl->pil", iL22, L21, iL11,
-                       precision=jax.lax.Precision.HIGHEST,
-                   preferred_element_type=D.dtype)
-    z = jnp.zeros_like(L21)
-    L = jnp.concatenate([
-        jnp.concatenate([L11, jnp.swapaxes(z, 1, 2)], axis=2),
-        jnp.concatenate([L21, L22], axis=2)], axis=1)
-    Linv = jnp.concatenate([
-        jnp.concatenate([iL11, jnp.swapaxes(z, 1, 2)], axis=2),
-        jnp.concatenate([iL21, iL22], axis=2)], axis=1)
-    return L, Linv
+    Flat right-looking panel loop (static offsets, so every slice is a
+    compile-time window): per 16-wide panel, an unrolled rank-1 chain on
+    the diagonal block, one small ``nilpotent_inv`` for the panel TRSM,
+    and one rank-16 MXU trailing update; the full-size Linv comes from a
+    single log2(c)-matmul ``nilpotent_inv`` at the end.  Replaces the
+    earlier recursive bisection, whose unrolled 8x8 bases dominated the
+    executor's device-op count (~1k tiny HLO ops per call)."""
+    P, c, _ = D.shape
+    dt = D.dtype
+    if c <= _PANEL:
+        L = _chol_panel(D, c)
+        return L, nilpotent_inv(L)
+    L = jnp.zeros_like(D)
+    A = D
+    for j0 in range(0, c, _PANEL):
+        j1 = j0 + _PANEL
+        Lp = _chol_panel(A[:, j0:j1, j0:j1], _PANEL)
+        iLp = nilpotent_inv(Lp)
+        L = L.at[:, j0:j1, j0:j1].set(Lp)
+        if j1 < c:
+            below = jnp.einsum("pij,pkj->pik", A[:, j1:, j0:j1], iLp,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=dt)
+            L = L.at[:, j1:, j0:j1].set(below)
+            A = A.at[:, j1:, j1:].add(
+                -jnp.einsum("pik,pjk->pij", below, below,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=dt))
+    return L, nilpotent_inv(L)
 
 
 def finalize_panel(G, w, c, dtype):
@@ -128,53 +146,19 @@ def finalize_panel(G, w, c, dtype):
 
 def tri_lower_solve(L, b):
     """x = L^{-1} b for batched lower-triangular L (P, c, c), b (P, c).
-    Uses the blocked inverse (small c), so it is matmul-only."""
-    _, Linv = _inv_only(L)
-    return jnp.einsum("pij,pj->pi", Linv, b,
+    Matmul-only via the Neumann-product inverse."""
+    return jnp.einsum("pij,pj->pi", nilpotent_inv(L), b,
                       precision=jax.lax.Precision.HIGHEST,
                    preferred_element_type=b.dtype)
 
 
 def tri_lower_solve_t(L, b):
     """x = L^{-T} b."""
-    _, Linv = _inv_only(L)
-    return jnp.einsum("pji,pj->pi", Linv, b,
+    return jnp.einsum("pji,pj->pi", nilpotent_inv(L), b,
                       precision=jax.lax.Precision.HIGHEST,
                    preferred_element_type=b.dtype)
 
 
-def _inv_base(L):
-    P, n = L.shape[0], L.shape[-1]
-    rows = []
-    for j in range(n):
-        e = jnp.zeros((P, n), L.dtype).at[:, j].set(1.0)
-        acc = e
-        for k in range(j):
-            acc = acc - L[:, j, k][:, None] * rows[k]
-        rows.append(acc / L[:, j, j][:, None])
-    return L, jnp.stack(rows, axis=1)
-
-
-def _inv_only(L):
-    """(L, Linv) for an already-factored lower triangle (identity padding
-    must be present on unused diagonal entries)."""
-    c = L.shape[-1]
-    if c <= _BASE:
-        return _inv_base(L)
-    h = c // 2
-    _, iL11 = _inv_only(L[:, :h, :h])
-    _, iL22 = _inv_only(L[:, h:, h:])
-    L21 = L[:, h:, :h]
-    iL21 = -jnp.einsum("pij,pjk,pkl->pil", iL22, L21, iL11,
-                       precision=jax.lax.Precision.HIGHEST,
-                   preferred_element_type=L.dtype)
-    z = jnp.zeros_like(L21)
-    Linv = jnp.concatenate([
-        jnp.concatenate([iL11, jnp.swapaxes(z, 1, 2)], axis=2),
-        jnp.concatenate([iL21, iL22], axis=2)], axis=1)
-    return L, Linv
-
-
 def tri_inverse(L):
     """Linv for batched lower-triangular L (P, c, c)."""
-    return _inv_only(L)[1]
+    return nilpotent_inv(L)

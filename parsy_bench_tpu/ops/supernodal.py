@@ -66,6 +66,7 @@ class SupernodalExecutor:
             rlo = jnp.asarray(seg.rlo.T)          # (T, ncls)
             self._seg_xs.append((upd, fin, rlo))
         self._factorize = jax.jit(self._factorize_impl)
+        self._factorize_loop = None
         self._solve_lower = jax.jit(self._solve_lower_impl)
         self._solve_upper = jax.jit(self._solve_upper_impl)
         self._solve_spd = jax.jit(
@@ -113,34 +114,57 @@ class SupernodalExecutor:
                 for ci, (w, d) in enumerate(zip(wins, deltas))]
 
     # ---------------------------------------------------------- finalize
-    def _finalize(self, wins, seg: SupSegment, fin_xs):
+    def _finalize(self, wins, seg: SupSegment, fin_xs, axis_name=None):
         """Shared blocked Cholesky per width class + per-bucket TRSM-as-
-        GEMM, all on contiguous window slices (see splan.py layout)."""
+        GEMM, all on contiguous window slices (see splan.py layout).
+
+        Panels within a wavefront level are independent, so every bucket
+        reads the PRE-finalize window and contributes a masked diff to a
+        per-class delta; one window add applies them all (padded lanes
+        contribute zero, so overlapping padded slices are harmless).
+
+        Sharded (``axis_name``): bucket lanes are owner-strided across the
+        mesh (lane % G == device), each device factors only its panels, and
+        the delta is ``psum``-merged — ownership partitioning of node
+        finalization (SURVEY §7E; the reference's per-partition node loop,
+        parallel_PB_Cholesky_05.h:83)."""
+        nsh = self.plan.nshards if axis_name is not None else 1
+        g = jax.lax.axis_index(axis_name) if axis_name is not None else 0
         for ci, c in enumerate(self.classes):
             bks = [(b, xs) for b, xs in zip(seg.fin, fin_xs)
                    if b.ccls == ci]
             if not bks:
                 continue
             win = wins[ci]
-            blks, tops, ws = [], [], []
+            delta = jnp.zeros_like(win)
+            blks, tops, ws, lanes = [], [], [], []
             for b, xs in bks:
                 blk = jax.lax.dynamic_slice(
                     win, (xs["boff"], jnp.int32(0)),
                     (b.P * b.H, c)).reshape(b.P, b.H, c)
+                w = xs["w"]
+                lane = _iota(b.P)
+                if nsh > 1:
+                    Pg = b.P // nsh
+                    blk = jnp.take(blk.reshape(Pg, nsh, b.H, c), g, axis=1)
+                    w = jnp.take(w.reshape(Pg, nsh), g, axis=1)
+                    lane = _iota(Pg) * nsh + g
                 blks.append(blk)
                 tops.append(blk[:, :c, :])
-                ws.append(xs["w"])
+                ws.append(w)
+                lanes.append(lane)
             D = masked_spd(jnp.concatenate(tops), jnp.concatenate(ws),
                            c, self.dtype)
             L, Linv = cholesky_inverse(D)
             off = 0
             i_c = jax.lax.broadcasted_iota(jnp.int32, (1, c, c), 1)
             j_c = jax.lax.broadcasted_iota(jnp.int32, (1, c, c), 2)
-            for (b, xs), blk in zip(bks, blks):
-                Lb = L[off:off + b.P]
-                Lib = Linv[off:off + b.P]
-                off += b.P
-                wv = xs["w"][:, None, None]
+            for (b, xs), blk, w, lane in zip(bks, blks, ws, lanes):
+                Pm = blk.shape[0]
+                Lb = L[off:off + Pm]
+                Lib = Linv[off:off + Pm]
+                off += Pm
+                wv = w[:, None, None]
                 Ltop = jnp.where((i_c < wv) & (j_c < wv), Lb, 0)
                 Y = jnp.einsum("phk,pck->phc", blk, Lib,
                                precision=jax.lax.Precision.HIGHEST,
@@ -149,20 +173,25 @@ class SupernodalExecutor:
                     jnp.int32, (1, 1, c), 2) < wv, Y, 0)
                 top = jnp.where(i_c < wv, Ltop, Y[:, :c, :])
                 out = jnp.concatenate([top, Y[:, c:, :]], axis=1)
-                lane = _iota(b.P)[:, None, None]
-                # padded lanes must write back the CURRENT window content:
-                # an earlier bucket's writeback may overlap this bucket's
-                # padded slice, and `blk` (sliced before any writeback)
-                # would resurrect stale values
-                cur = jax.lax.dynamic_slice(
-                    win, (xs["boff"], jnp.int32(0)),
-                    (b.P * b.H, c)).reshape(b.P, b.H, c)
-                out = jnp.where(lane < xs["cnt"][None, None, None],
-                                out, cur)
-                win = jax.lax.dynamic_update_slice(
-                    win, out.reshape(b.P * b.H, c),
+                diff = jnp.where(lane[:, None, None]
+                                 < xs["cnt"][None, None, None],
+                                 out - blk, 0)
+                if nsh > 1:
+                    Pg = b.P // nsh
+                    buf = jnp.zeros((Pg, nsh, b.H, c), self.dtype)
+                    buf = jax.lax.dynamic_update_index_in_dim(
+                        buf, diff, g, 1).reshape(b.P * b.H, c)
+                else:
+                    buf = diff.reshape(b.P * b.H, c)
+                delta = jax.lax.dynamic_update_slice(
+                    delta,
+                    jax.lax.dynamic_slice(
+                        delta, (xs["boff"], jnp.int32(0)),
+                        (b.P * b.H, c)) + buf,
                     (xs["boff"], jnp.int32(0)))
-            wins[ci] = win
+            if axis_name is not None:
+                delta = jax.lax.psum(delta, axis_name)
+            wins[ci] = win + delta
         return wins
 
     # ------------------------------------------------------------ factor
@@ -172,7 +201,7 @@ class SupernodalExecutor:
             pools[ci], (rlo[ci], jnp.int32(0)), (seg.wslice[ci], c))
             for ci, c in enumerate(self.classes)]
         wins = self._apply_updates(pools, wins, seg, upd_xs, axis_name)
-        wins = self._finalize(wins, seg, fin_xs)
+        wins = self._finalize(wins, seg, fin_xs, axis_name)
         return [jax.lax.dynamic_update_slice(
             pools[ci], wins[ci], (rlo[ci], jnp.int32(0)))
             for ci in range(self.ncls)]
@@ -190,6 +219,32 @@ class SupernodalExecutor:
     def factorize(self, a_data):
         """Numeric supernodal Cholesky: A values -> per-class panel pools."""
         return self._factorize(jnp.asarray(a_data), self._seg_xs)
+
+    def factorize_loop(self, a_data, iters: int):
+        """Run ``iters`` full factorizations inside ONE device program and
+        return the last iteration's pools.  Benchmark helper: host->device
+        dispatch has a fixed per-call latency (27 ms through the axon
+        tunnel, ~0.1 ms in production) that is not part of the numeric
+        phase being measured; the reference's timed loop
+        (choleskyTest01.cpp:199-277) likewise pays no per-iteration
+        process overhead.  A data dependency between iterations (input
+        perturbed by 0*prev) stops XLA from collapsing the loop."""
+        if self._factorize_loop is None:
+            def run(d, xs, iters):
+                zero = tuple(
+                    jnp.zeros((int(self.plan.nrows[ci]), c), self.dtype)
+                    for ci, c in enumerate(self.classes))
+                def body(i, carry):
+                    acc, _ = carry
+                    pools = self._factorize_impl(d + 0.0 * acc, xs)
+                    return pools[0].reshape(-1)[0], pools
+                _, pools = jax.lax.fori_loop(0, iters, body,
+                                             (jnp.zeros((), self.dtype),
+                                              zero))
+                return pools
+            self._factorize_loop = jax.jit(run, static_argnums=2)
+        return self._factorize_loop(jnp.asarray(a_data), self._seg_xs,
+                                    iters)
 
     # ------------------------------------------------------------ solves
     def _diag_tri(self, blk, w, c):

@@ -119,6 +119,20 @@ class SupernodalPlan:
         return int(sum(int(r) * c
                        for r, c in zip(self.nrows, self.classes)))
 
+    def table_bytes(self) -> int:
+        """Total bytes of the emitted device index tables (the HBM cost of
+        the schedule, reported per SURVEY §5.5 / VERDICT r1 weak #4)."""
+        total = 0
+        for seg in self.segments:
+            for b in seg.upd:
+                total += (b.arow.nbytes + b.brow.nbytes + b.colq.nbytes
+                          + b.dst.nbytes)
+            for b in seg.fin:
+                total += (b.cnt.nbytes + b.boff.nbytes + b.w.nbytes
+                          + b.h.nbytes + b.cols0.nbytes + b.rows.nbytes)
+            total += seg.rlo.nbytes
+        return total
+
 
 def _cumsum0(x):
     out = np.zeros(len(x) + 1, dtype=np.int64)
@@ -348,7 +362,9 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
                 ss_h = sel[hpad[sel] == H]
                 cnt = np.zeros(T, dtype=np.int32)
                 np.add.at(cnt, lev[ss_h] - t0, 1)
-                P = int(cnt.max())
+                # lane axis padded to a multiple of the shard count so the
+                # sharded executor can stride-partition bucket ownership
+                P = -(-int(cnt.max()) // G) * G
                 boff = np.zeros(T, dtype=np.int32)
                 w_t = np.zeros((T, P), dtype=np.int32)
                 h_t = np.zeros((T, P), dtype=np.int32)

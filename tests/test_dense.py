@@ -1,0 +1,83 @@
+"""Dense micro-kernel tests: blocked Cholesky + Neumann-product triangular
+inverse vs numpy oracles (the role the reference's MKL dpotrf/dtrsm play,
+parallel_PB_Cholesky_05.h:204-218)."""
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+
+from parsy_bench_tpu.ops.dense import (cholesky_inverse, masked_spd,
+                                       nilpotent_inv, tri_lower_solve,
+                                       tri_lower_solve_t)
+
+
+def _rand_spd(rng, p, c):
+    A = rng.standard_normal((p, c, c))
+    return A @ np.swapaxes(A, 1, 2) + c * np.eye(c)
+
+
+@pytest.mark.parametrize("c", [8, 16, 32, 128])
+def test_cholesky_inverse_oracle(c):
+    rng = np.random.default_rng(0)
+    D = _rand_spd(rng, 5, c)
+    L, Linv = cholesky_inverse(jnp.asarray(D))
+    L, Linv = np.asarray(L), np.asarray(Linv)
+    ref = np.linalg.cholesky(D)
+    assert np.allclose(L, ref, rtol=1e-8, atol=1e-8)
+    assert np.allclose(Linv @ ref, np.eye(c)[None], atol=1e-8)
+    # strictly lower-triangular outputs
+    assert np.allclose(np.triu(L, 1), 0)
+    assert np.allclose(np.triu(Linv, 1), 0)
+
+
+@pytest.mark.parametrize("c", [32, 128])
+def test_cholesky_inverse_masked_lanes(c):
+    """Padded lanes (w < c, identity diagonal) must factor cleanly and
+    produce no NaNs anywhere."""
+    rng = np.random.default_rng(1)
+    D = _rand_spd(rng, 4, c)
+    w = jnp.asarray([c, c // 2, 3, 0])
+    Dm = masked_spd(jnp.asarray(D), w, c, jnp.float64)
+    L, Linv = cholesky_inverse(Dm)
+    assert np.all(np.isfinite(np.asarray(L)))
+    assert np.all(np.isfinite(np.asarray(Linv)))
+    # the w=c lane matches the unmasked oracle
+    ref = np.linalg.cholesky(D[0])
+    assert np.allclose(np.asarray(L)[0], ref, atol=1e-8)
+    # a partially masked lane factors its leading principal block
+    k = c // 2
+    refk = np.linalg.cholesky(D[1][:k, :k])
+    assert np.allclose(np.asarray(L)[1][:k, :k], refk, atol=1e-8)
+
+
+@pytest.mark.parametrize("c", [16, 64])
+def test_nilpotent_inv_and_solves(c):
+    rng = np.random.default_rng(2)
+    L = np.tril(rng.standard_normal((3, c, c)))
+    L[:, np.arange(c), np.arange(c)] = 2.0 + rng.random((3, c))
+    Li = np.asarray(nilpotent_inv(jnp.asarray(L)))
+    assert np.allclose(Li @ L, np.eye(c)[None], atol=1e-9)
+    b = rng.standard_normal((3, c))
+    x = np.asarray(tri_lower_solve(jnp.asarray(L), jnp.asarray(b)))
+    assert np.allclose(L @ x[..., None], b[..., None], atol=1e-9)
+    xt = np.asarray(tri_lower_solve_t(jnp.asarray(L), jnp.asarray(b)))
+    assert np.allclose(np.swapaxes(L, 1, 2) @ xt[..., None],
+                       b[..., None], atol=1e-9)
+
+
+def test_factorize_loop_matches_factorize():
+    """bench.py's in-device iteration loop must produce the same factor
+    as a single factorize call."""
+    from parsy_bench_tpu.config import SolverConfig
+    from parsy_bench_tpu.core import generate
+    from parsy_bench_tpu.models import CholeskySolver
+    a = generate.SUITE["bcsstk14ish"]()
+    s = CholeskySolver(a, SolverConfig(ordering="amd", tier="supernodal"))
+    s.factorize()
+    pools = s.executor.factorize_loop(s.ap.data, 3)
+    for p, q in zip(pools, s.lx):
+        assert np.allclose(np.asarray(p), np.asarray(q), atol=1e-6)
