@@ -128,7 +128,9 @@ def cmd_trisolve(args) -> None:
             ordering=args.ordering, dtype="float64", tier="simplicial")
         ).factorize().factor_csc()
     t0 = time.perf_counter()
-    ts = TriangularSolver(l, SolverConfig(dtype=args.dtype, tier=args.tier))
+    ts = TriangularSolver(l, SolverConfig(
+        dtype=args.dtype, tier=args.tier,
+        trisolve_schedule=getattr(args, "schedule", "auto")))
     analyze_s = time.perf_counter() - t0
     b = rhs_init_trisolve(l)
     x = ts.solve(b)   # compile + warm
@@ -147,6 +149,9 @@ def cmd_trisolve(args) -> None:
         "solve_median_s": round(med, 6),
         "nnz_per_s": round(2 * l.nnz / med, 1),
         "nlev": int(ts.nlev),
+        "schedule": getattr(ts, "schedule", args.tier),
+        "steps": (int(ts.plan.nsteps)
+                  if hasattr(ts.plan, "nsteps") else int(ts.nlev)),
         "verified": bool(check_triangular(x)),
     }))
 
@@ -223,6 +228,11 @@ def main(argv=None) -> None:
         q.add_argument("--verify", action="store_true")
         q.add_argument("--profile", action="store_true")
         if name == "trisolve":
+            q.add_argument("--schedule", default="auto",
+                           choices=["auto", "wavefront", "coarsened"],
+                           help="general-DAG trisolve schedule: H1 "
+                                "wavefront vs coarsened dense windows "
+                                "(DAG-LBC replacement); auto = cost model")
             q.add_argument("--lower", action="store_true",
                            help="input matrix IS the lower-triangular L "
                                 "(general non-chordal DAG path)")

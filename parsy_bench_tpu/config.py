@@ -45,6 +45,12 @@ class SolverConfig:
     #: every bucket to the running lane maxima would exceed this multiple
     #: of the true work (ops/simplicial.py segment_levels).
     segment_alpha: float = 1.25
+    #: general-DAG trisolve schedule: "wavefront" (one batched step per
+    #: level, H1), "coarsened" (dense W-column window steps, the DAG-LBC
+    #: replacement — symbolic/dagplan.py), or "auto" (cost-model pick).
+    trisolve_schedule: str = "auto"
+    #: window width of the coarsened trisolve schedule.
+    coarse_width: int = 256
     #: height granularity of panel padding (f32 sublane tile is 8).
     height_unit: int = 8
 

@@ -207,10 +207,34 @@ class TriangularSolver:
             self._lx = jax.jit(self.executor._init_pools)(
                 jnp.asarray(l.data))
         else:
-            self.levels, self.plan = trisolve_plan(l)
-            self.executor = SimplicialExecutor(self.plan,
-                                               dtype=self.config.dtype)
-            self._lx = jnp.asarray(l.data, dtype=self.executor.dtype)
+            from parsy_bench_tpu.symbolic.plan import dag_levels
+            import scipy.sparse as sp
+            lpat = sp.csc_matrix(
+                (np.ones(l.nnz, dtype=np.int8), l.indices, l.indptr),
+                shape=(l.n, l.n))
+            self.levels = dag_levels(lpat)
+            sched = self.config.trisolve_schedule
+            if sched == "auto":
+                from parsy_bench_tpu.symbolic.dagplan import choose_schedule
+                sched = choose_schedule(l, self.levels,
+                                        self.config.coarse_width)
+            self.schedule = sched
+            if sched == "coarsened":
+                from parsy_bench_tpu.ops.dagsolve import (
+                    CoarseTrisolveExecutor)
+                from parsy_bench_tpu.symbolic.dagplan import (
+                    build_coarse_trisolve)
+                self.plan = build_coarse_trisolve(
+                    l, self.levels, self.config.coarse_width)
+                self.executor = CoarseTrisolveExecutor(
+                    self.plan, dtype=self.config.dtype)
+                self._lx = jnp.asarray(l.data, dtype=self.executor.dtype)
+            else:
+                self.plan = plan_from_pattern(lpat, self.levels, a=None,
+                                              with_updates=False)
+                self.executor = SimplicialExecutor(self.plan,
+                                                   dtype=self.config.dtype)
+                self._lx = jnp.asarray(l.data, dtype=self.executor.dtype)
 
     @property
     def nlev(self) -> int:
