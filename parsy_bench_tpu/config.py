@@ -14,8 +14,9 @@ from typing import Optional, Sequence, Tuple
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
     # ---- ordering (reference: LSparsity.h:446-621 GIVEN/SCOTCH/METIS/AMD) ----
-    #: one of "natural", "amd", "nd" (geometric nested dissection when node
-    #: coordinates are available), "rcm", "given".
+    #: one of "natural", "amd", "nd" (coordinate-free BFS level-structure
+    #: nested dissection), "nd-geo" (coordinate bisection; needs coords),
+    #: "rcm", "given".
     ordering: str = "amd"
     #: permutation used when ordering == "given" (maps new -> old).
     given_perm: Optional[Sequence[int]] = None
@@ -34,7 +35,8 @@ class SolverConfig:
     #: stored width classes for the per-class panel row pools (ascending).
     #: Few classes = few compiled batch-kernel shapes; narrow supernodes are
     #: zero-padded to the smallest class (TPU rows must be >= 32 lanes to
-    #: gather at speed, scripts/microbench2.py).
+    #: gather at speed, scripts/microbench2.py).  Classes above 16 must be
+    #: multiples of 16 (the blocked-Cholesky panel width, ops/dense.py).
     width_classes: Tuple[int, ...] = (32, 128)
     #: update-chunk row classes (descending); each source chunk becomes one
     #: lane of a batched MXU einsum.

@@ -159,8 +159,13 @@ class CholeskySolver:
                 f"artifact is for n={meta.get('n')}/nnz={meta.get('nnz')}, "
                 f"matrix has n={a.n}")
         self = cls.__new__(cls)
-        self.config = (config or SolverConfig()).replace(
-            tier=meta.get("tier", "supernodal"))
+        art_tier = meta.get("tier", "supernodal")
+        if config is not None and config.tier != art_tier:
+            import warnings
+            warnings.warn(
+                f"artifact was analyzed for tier={art_tier!r}; overriding "
+                f"config tier={config.tier!r}", stacklevel=2)
+        self.config = (config or SolverConfig()).replace(tier=art_tier)
         self.a = a if a.is_lower() else a.lower_half()
         self.perm = obj["perm"]
         self.ap = self.a.permute(self.perm)
@@ -170,6 +175,9 @@ class CholeskySolver:
         self.plan = obj["plan"]
         if self.config.tier == "supernodal":
             from parsy_bench_tpu.ops.supernodal import SupernodalExecutor
+            if self.config.verify:
+                from parsy_bench_tpu.symbolic.verify import verify_plan
+                verify_plan(self.plan)
             self.executor = SupernodalExecutor(self.plan,
                                                dtype=self.config.dtype)
         else:

@@ -101,6 +101,11 @@ def cholesky_inverse(D):
     if c <= _PANEL:
         L = _chol_panel(D, c)
         return L, nilpotent_inv(L)
+    if c % _PANEL:
+        # the flat panel loop slices fixed 16-wide panels; a non-multiple
+        # width class would clamp the last slice (SolverConfig.width_classes
+        # must be multiples of 16)
+        raise ValueError(f"width class {c} is not a multiple of {_PANEL}")
     L = jnp.zeros_like(D)
     A = D
     for j0 in range(0, c, _PANEL):

@@ -351,22 +351,38 @@ class SupernodalExecutor:
         return self._factor_values(pools)
 
     # --------------------------------------------------------- profiling
-    def profile_segments(self, a_data, iters: int = 3) -> list[dict]:
+    def profile_segments(self, a_data, iters: int = 3,
+                         reps: int = 20) -> list[dict]:
         """Per-segment wall times (reference: the instrumented executors
-        behind TIMING/ANALYZE_THEORY, Cholesky_Perf_Modeling.h:29)."""
+        behind TIMING/ANALYZE_THEORY, Cholesky_Perf_Modeling.h:29).
+
+        Each segment is repeated ``reps`` times inside ONE device program
+        (fori_loop with a fold-proof data dependency) so the fixed
+        host->device dispatch latency (~27 ms through the axon tunnel) is
+        amortized to noise; reported ``median_s`` is per single run."""
         import time
         pools = jax.block_until_ready(
             jax.jit(self._init_pools)(jnp.asarray(a_data)))
         out = []
         for i, (seg, xs3) in enumerate(zip(self.plan.segments,
                                            self._seg_xs)):
-            def run(pools, xs3, seg=seg):
+            def run_once(pools, xs3, seg=seg):
                 def step(pools, xs):
                     u, f, rlo = xs
                     return self._step(pools, seg, u, f, rlo), None
                 return jax.lax.scan(step, pools, xs3)[0]
-            jrun = jax.jit(run)
-            pools2 = jax.block_until_ready(jrun(pools, xs3))
+
+            def run_reps(pools, xs3, seg=seg):
+                def body(k, ps):
+                    # fold-proof dependency: k-dependent zero contribution
+                    ps = [p + jnp.float32(0) * jnp.float32(k) for p in ps]
+                    def step(ps2, xs):
+                        u, f, rlo = xs
+                        return self._step(tuple(ps2), seg, u, f, rlo), None
+                    return jax.lax.scan(step, ps, xs3)[0]
+                return jax.lax.fori_loop(0, reps, body, list(pools))
+            jrun = jax.jit(run_reps)
+            jax.block_until_ready(jrun(pools, xs3))
             times = []
             for _ in range(iters):
                 t0 = time.perf_counter()
@@ -376,6 +392,7 @@ class SupernodalExecutor:
                         "upd_buckets": len(seg.upd),
                         "fin_buckets": len(seg.fin),
                         "wslice": list(seg.wslice),
-                        "median_s": sorted(times)[len(times) // 2]})
-            pools = pools2
+                        "median_s": sorted(times)[len(times) // 2] / reps})
+            pools = jax.block_until_ready(
+                jax.jit(run_once)(pools, xs3))
         return out

@@ -98,6 +98,12 @@ def build_coarse_trisolve(l: CSC, lev: np.ndarray,
     nnz = int(lptr[-1])
     if W % _SUB:
         raise ValueError(f"W must be a multiple of {_SUB}")
+    # the schedule reads each column's diagonal at its first stored entry;
+    # unsorted indices or a missing explicit diagonal would be silently
+    # wrong solves (ADVICE r2)
+    if not np.array_equal(lind[lptr[:-1]], np.arange(n)):
+        raise ValueError("L must store a sorted explicit diagonal as the "
+                         "first entry of every column")
     order = np.lexsort((np.arange(n), np.asarray(lev)))
     pos_of = np.empty(n, dtype=np.int64)       # column -> window position
     pos_of[order] = np.arange(n)

@@ -12,13 +12,19 @@ import scipy.sparse as sp
 from parsy_bench_tpu.core.csc import CSC, IDX
 
 
-def ereach(a: CSC, parent: np.ndarray, k: int) -> np.ndarray:
+def ereach(a: CSC, parent: np.ndarray, k: int, *, upper=None) -> np.ndarray:
     """Pattern of row k of L (excluding the diagonal), ascending.
 
     These are exactly the columns j < k whose update touches column k in
     left-looking factorization (reference: ``ereach`` common/Reach.h:89).
+
+    Callers iterating over many rows should pass ``upper`` — the CSC upper
+    triangle ``a.to_scipy().T.tocsc()`` computed once — to avoid the
+    O(nnz) transpose per call.
     """
-    indptr, indices = a.to_scipy().T.tocsc().indptr, a.to_scipy().T.tocsc().indices
+    if upper is None:
+        upper = a.to_scipy().T.tocsc()
+    indptr, indices = upper.indptr, upper.indices
     seen = set()
     out: list[int] = []
     for p in range(indptr[k], indptr[k + 1]):

@@ -175,7 +175,14 @@ def verify_plan(plan: SupernodalPlan) -> dict:
                     _check(np.all(off_in_pair >= 0)
                            and np.all(off_in_pair < mm[pidx]),
                            f"seg{si} t{t}: chunk rows outside pair range")
+                    # coverage scatter assumes real dst entries fill a
+                    # contiguous prefix of each chunk (column 0..cnt-1);
+                    # verify that before trusting the tally
                     cnt_rows = mask.sum(axis=1)
+                    _check(np.array_equal(
+                        mask, np.arange(dst.shape[1])[None, :]
+                        < cnt_rows[:, None]),
+                        f"seg{si} t{t}: chunk dst mask not contiguous")
                     flat0 = pr_off[pidx] + off_in_pair
                     np.add.at(covered,
                               (flat0[:, None]

@@ -69,6 +69,33 @@ def test_nilpotent_inv_and_solves(c):
                        b[..., None], atol=1e-9)
 
 
+@pytest.mark.parametrize("c", [32, 128])
+def test_cholesky_inverse_f32_ill_conditioned(c):
+    """float32 with cond ~1e5 lanes: the Neumann-product inverse must keep
+    the factor residual within the f32 envelope (ADVICE r2: the repeated
+    squaring can amplify rounding on ill-conditioned panels)."""
+    rng = np.random.default_rng(7)
+    Q, _ = np.linalg.qr(rng.standard_normal((c, c)))
+    s = np.logspace(0, -5, c)  # cond 1e5
+    D = (Q * s) @ Q.T
+    D = 0.5 * (D + D.T)
+    Db = np.broadcast_to(D, (3, c, c)).astype(np.float32)
+    L, Linv = cholesky_inverse(jnp.asarray(Db, dtype=jnp.float32))
+    L = np.asarray(L, dtype=np.float64)
+    Linv = np.asarray(Linv, dtype=np.float64)
+    # factor residual relative to ||D||
+    res = np.linalg.norm(L @ np.swapaxes(L, 1, 2) - D, axis=(1, 2))
+    assert np.all(res / np.linalg.norm(D) < 1e-4)
+    # inverse usable as a TRSM: ||Linv L - I|| bounded by cond * eps
+    err = np.linalg.norm(Linv @ L - np.eye(c)[None], axis=(1, 2))
+    assert np.all(err < 1e-1), err
+
+
+def test_cholesky_inverse_rejects_bad_width():
+    with pytest.raises(ValueError):
+        cholesky_inverse(jnp.zeros((2, 24, 24)))
+
+
 def test_factorize_loop_matches_factorize():
     """bench.py's in-device iteration loop must produce the same factor
     as a single factorize call."""
