@@ -64,25 +64,19 @@ class ShardedSupernodalExecutor:
         self._inner = SupernodalExecutor(plan, dtype=dtype)
         ex = self._inner
 
-        shard = P(None, "p")   # (T, G, ...) update tables: split G
         rep = P()
-        seg_specs = []
-        for seg in plan.segments:
-            upd = [dict(arow=shard, brow=shard, colq=shard, dst=shard)
-                   for _ in seg.upd]
-            fin = [dict(cnt=rep, boff=rep, w=rep, cols0=rep, rows=rep)
-                   for _ in seg.fin]
-            seg_specs.append((upd, fin, rep))
-
+        # the packed update-table buffer is (G, L): shard its G axis so
+        # each device holds only its own partition's index tables
         self._factorize = jax.jit(jax.shard_map(
-            lambda a_data, seg_xs: ex._factorize_impl(
-                a_data, seg_xs, axis_name="p"),
-            mesh=mesh, in_specs=(rep, seg_specs),
+            lambda a_data, fr, fu: ex._factorize_impl(
+                a_data, fr, fu, axis_name="p"),
+            mesh=mesh, in_specs=(rep, rep, P("p", None)),
             out_specs=tuple(rep for _ in plan.classes), check_vma=False))
 
     def factorize(self, a_data):
         """Replicated panel pools from the SPMD factorization."""
-        return self._factorize(jnp.asarray(a_data), self._inner._seg_xs)
+        return self._factorize(jnp.asarray(a_data), self._inner._flat_rep,
+                               self._inner._flat_upd)
 
     def solve_spd(self, pools, b):
         return self._inner.solve_spd(pools, b)

@@ -80,7 +80,8 @@ def main():
     total = {m: 0.0 for m in ("full", "upd", "fin", "win")}
     print(f"{'seg':>4} {'T':>3} {'full_ms':>8} {'win_ms':>7} {'upd_ms':>7} "
           f"{'fin_ms':>7} {'model_ms':>8} {'ratio':>6}", flush=True)
-    for si, (seg, xs3) in enumerate(zip(plan.segments, ex._seg_xs)):
+    seg_xs_all = ex._unpack(ex._flat_rep, ex._flat_upd)
+    for si, (seg, xs3) in enumerate(zip(plan.segments, seg_xs_all)):
         res = {}
         for mode in ("full", "win", "upd", "fin"):
             res[mode] = timeit(make_run(seg, xs3, mode), pools, xs3)
