@@ -1,17 +1,25 @@
-"""Headline benchmark: sparse Cholesky factorization throughput on one chip.
+"""Headline benchmark: sparse Cholesky factorization + blocked triangular
+solve throughput on one chip.
 
-Protocol follows the reference (choleskyTest01.cpp:199-277): 5 timed numeric
-factorizations, median reported; symbolic/analysis runs once beforehand
-(analyze once / factor many contract).
+Protocol follows the reference (choleskyTest01.cpp:199-277 and
+triangularTest02.cpp:195-260): timed numeric factorizations and solves
+with the symbolic phase run once beforehand (analyze once / factor many
+contract), median reported.  The matrix is a 48^3 3D Laplacian
+(n = 110,592) — the reference's benchmark set is 17 SuiteSparse SPD
+matrices of n = 36k-1.5M (scripts/dlMat.sh), so this sits at its lower
+third; ordering is the framework's coordinate-free nested dissection (the
+reference's default is METIS node-ND, LSparsity.h:534).
 
 Baseline: the reference publishes no numbers (BASELINE.md), but pins a
 machine-calibrated kernel-time model (performanceModel.h:26-88, GEMM
 t = 2.429e-10 * ijk s => ~8.2 GFLOP/s per core) and a 4-thread evaluation
 protocol (scripts/eval.sh).  ``vs_baseline`` is the ratio of that modeled
-4-thread ParSy time for the same factorization flops to our measured median
-time (>1 = faster than the calibrated reference machine).
+4-thread ParSy time for the same factorization flops to our measured
+median time (>1 = faster than the calibrated reference machine).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...};
+extra keys carry the trisolve metric (BASELINE.md lists both headline
+numbers) and the correctness gates.
 """
 from __future__ import annotations
 
@@ -25,12 +33,13 @@ import numpy as np
 _REF_SEC_PER_FLOP = 2.429e-10 / 2.0
 _REF_THREADS = 4  # scripts/eval.sh protocol
 _ITERS = 5
+_GRID = 48        # laplace_3d(48): n = 110,592
 
 
 def _warm_scatter() -> None:
     """Compile one trivial scatter first: the TPU toolchain's first
-    scatter-containing program pays a ~65s one-time kernel-library cost;
-    warming it on a tiny program keeps the real compiles at ~10s."""
+    scatter-containing program pays a one-time kernel-library cost;
+    warming it on a tiny program keeps the real compiles fast."""
     import jax
     import jax.numpy as jnp
     idx = jnp.arange(8)
@@ -40,26 +49,36 @@ def _warm_scatter() -> None:
 
 def main() -> None:
     import jax
+    # Persistent compilation cache: the factorize/solve programs for the
+    # benchmark shapes compile in ~15 min cold and O(10 s) cached; the
+    # symbolic phase is analyze-once by contract and the compile is the
+    # same artifact-cacheable preprocessing (SURVEY §5.4).
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from parsy_bench_tpu.core import generate
     from parsy_bench_tpu.config import SolverConfig
     from parsy_bench_tpu.models import CholeskySolver
 
     _warm_scatter()
-    a = generate.laplace_3d(24)  # apache2-class 3D grid, n=13824
-    solver = CholeskySolver(a, SolverConfig(ordering="amd", dtype="float32",
+    a = generate.laplace_3d(_GRID)
+    t0 = time.perf_counter()
+    solver = CholeskySolver(a, SolverConfig(ordering="nd", dtype="float32",
                                             tier="supernodal"))
+    analyze_s = time.perf_counter() - t0
 
     data = solver.ap.data.astype(np.float32)
 
     # Timed phase: _ITERS full factorizations inside ONE device program
     # (executor.factorize_loop), repeated 3x, median per-iteration time.
-    # Host->device dispatch has a fixed per-call latency (~27 ms through
-    # the axon TPU tunnel vs ~0.1 ms in production) that would otherwise
-    # dominate; the reference's timed loop (choleskyTest01.cpp:199-277)
-    # pays no per-iteration dispatch either.  The loop's final pools are
-    # the factor used for the correctness gate below.
+    # Host->device dispatch latency through the axon tunnel is not part
+    # of the numeric phase being measured; the reference's timed loop
+    # (choleskyTest01.cpp:199-277) pays no per-iteration process overhead
+    # either.  Iterations are chained fold-proof (see factorize_loop).
+    t0 = time.perf_counter()
     solver.lx = jax.block_until_ready(
-        solver.executor.factorize_loop(data, _ITERS))  # compile + warm up
+        solver.executor.factorize_loop(data, _ITERS))
+    compile_s = time.perf_counter() - t0
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -68,13 +87,34 @@ def main() -> None:
         times.append((time.perf_counter() - t0) / _ITERS)
     median = sorted(times)[len(times) // 2]
 
-    # correctness gate: a fast-but-wrong factorization must not score.
-    # Reference bar: factor values vs CHOLMOD within 1e-3
-    # (choleskyTest01.cpp:538-546); here the Frobenius factor residual
-    # (solver.lx holds the warm-up factorization of the same data).
+    # blocked triangular solve (H2LeveledBlockedLsolve analog) with the
+    # reference's constructed-solution protocol: b = L*1 so the exact
+    # solution is x = 1 (rhsInitBlocked, common/Util.h:277)
+    lmat = solver.factor_csc().to_scipy()
+    b = np.asarray(lmat @ np.ones(a.n), dtype=np.float32)
+    x_warm = jax.block_until_ready(
+        solver.executor.solve_loop(solver.lx, b, _ITERS))
+    stimes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            solver.executor.solve_loop(solver.lx, b, _ITERS))
+        stimes.append((time.perf_counter() - t0) / _ITERS)
+    smedian = sorted(stimes)[len(stimes) // 2]
+    nnzl = int(solver.lpat.nnz)
+
+    # correctness gates: a fast-but-wrong run must not score.
+    # Factor: Frobenius residual vs reference bar 1e-3
+    # (choleskyTest01.cpp:538-546).  Solve: with b = L*1 every solution
+    # component must satisfy |1 - x_i| < 1e-3 (testTriangular,
+    # common/Util.h:294-306).
     residual = solver.factor_residual()
     if not (residual < 1e-3):
         raise SystemExit(f"factor residual {residual:.3e} exceeds 1e-3 "
+                         f"— benchmark invalid")
+    solve_err = float(np.max(np.abs(np.asarray(x_warm) - 1.0)))
+    if not (solve_err < 1e-3):
+        raise SystemExit(f"trisolve error {solve_err:.3e} exceeds 1e-3 "
                          f"— benchmark invalid")
 
     flops = solver.plan.flops
@@ -85,7 +125,12 @@ def main() -> None:
         "value": round(gflops, 4),
         "unit": "GFLOP/s",
         "vs_baseline": round(ref_time / median, 4),
-        "factor_residual": round(residual, 9),
+        "n": int(a.n),
+        "factor_residual": float(f"{residual:.3e}"),
+        "trisolve_gnnz_per_s": round(nnzl / smedian / 1e9, 4),
+        "trisolve_residual": float(f"{solve_err:.3e}"),
+        "analyze_s": round(analyze_s, 1),
+        "compile_s": round(compile_s, 1),
     }))
 
 

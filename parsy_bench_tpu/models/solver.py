@@ -256,14 +256,68 @@ class TriangularSolver:
         """x = L^{-T} b (backward substitution)."""
         return np.asarray(self.executor.solve_upper(self._lx, b))
 
-    def pruned(self, rhs_rows: np.ndarray) -> "PrunedTriangularSolve":
+    def pruned(self, rhs_rows: np.ndarray):
         """Sparse-RHS solver restricted to the reach set of ``rhs_rows``
         (reference: reach + lsolve_reach_dec, common/Reach.h:14 and
         Triangular_CSC.h:225 — SURVEY P4).  The reach is computed once per
         RHS pattern; the returned object solves many numeric RHS with that
-        pattern, touching only the active columns."""
+        pattern, touching only the active columns.
+
+        tier="supernodal" returns the blocked pruned solver (reach over
+        the supernode DAG + batched panel solve on the active subset —
+        blockedPrunedLSolve, Triangular_BCSC.h:55)."""
+        if self.config.tier == "supernodal":
+            return PrunedBlockedTriangularSolve(
+                self.l, self.plan, np.asarray(rhs_rows), self.config)
         return PrunedTriangularSolve(self.l, np.asarray(rhs_rows),
                                      self.config)
+
+
+class PrunedBlockedTriangularSolve:
+    """Blocked (BCSC) solve on the supernodal-reach-restricted subset
+    (reference: blockedPrunedLSolve, Triangular_BCSC.h:55-109, with the
+    reach mapped to supernodes by reach_sn, Reach.h:31).
+
+    The active supernode set is closed under the supernode DAG, so every
+    below-diagonal row of an active panel lands in an active column and
+    the restricted submatrix keeps the full blocked structure; work is
+    proportional to the active panels, not n."""
+
+    def __init__(self, l: CSC, plan, rhs_rows: np.ndarray,
+                 config: SolverConfig | None = None):
+        import jax
+        import jax.numpy as jnp
+        from parsy_bench_tpu.ops.supernodal import SupernodalExecutor
+        from parsy_bench_tpu.symbolic.reach import reach_sn
+        from parsy_bench_tpu.symbolic.strisolve import build_trisolve_plan
+        self.config = config or SolverConfig()
+        lay = plan.layout
+        part = lay.part
+        self.n = l.n
+        self.sn_reach = reach_sn(lay.rptr, lay.rows, part.sptr,
+                                 part.col2sup, rhs_rows)
+        cols = np.concatenate([
+            np.arange(part.sptr[s], part.sptr[s + 1])
+            for s in self.sn_reach]) if len(self.sn_reach) else \
+            np.zeros(0, dtype=np.int64)
+        self.cols = cols.astype(np.int64)
+        sub = l.to_scipy()[np.ix_(self.cols, self.cols)].tocsc()
+        sub.sort_indices()
+        lsub = CSC(len(self.cols), sub.indptr.astype(np.int64),
+                   sub.indices.astype(np.int64), sub.data)
+        self.plan = build_trisolve_plan(lsub, self.config)
+        self.executor = SupernodalExecutor(self.plan,
+                                           dtype=self.config.dtype)
+        self._lx = jax.jit(self.executor._init_pools)(
+            jnp.asarray(lsub.data))
+
+    def solve(self, b: np.ndarray) -> np.ndarray:
+        """x = L^{-1} b where b is nonzero only on the RHS pattern; work
+        is proportional to the active supernodes, not n."""
+        xr = np.asarray(self.executor.solve_lower(self._lx, b[self.cols]))
+        x = np.zeros(self.n, dtype=xr.dtype)
+        x[self.cols] = xr
+        return x
 
 
 class PrunedTriangularSolve:

@@ -36,9 +36,6 @@ class NativeLib:
         dll.pbt_tree_wavefront.argtypes = [_c64, _I32, _I64]
         dll.pbt_col_counts.argtypes = [_c64, _I64, _I32, _I32, _I64]
         dll.pbt_symbolic_pattern.argtypes = [_c64, _I64, _I32, _I32, _I64, _I32]
-        dll.pbt_ereach_sn.argtypes = [_c64, _c64, _I64, _I32, _I32, _I32,
-                                      _I64, _I32, _I32]
-        dll.pbt_ereach_sn.restype = ctypes.c_int64
         dll.pbt_dag_levels.argtypes = [_c64, _I64, _I32, _I64]
         dll.pbt_cholesky_updates.argtypes = [_c64, _I64, _I32, _I32, _I32,
                                              _I32]
@@ -83,11 +80,6 @@ class NativeLib:
             n, np.ascontiguousarray(indptr, np.int64),
             np.ascontiguousarray(indices, np.int32), parent, rptr, rind)
         return rptr, rind
-
-    def ereach_sn(self, col1, col2, aptr, aind, col2sup, sparent,
-                  marked, out, stack):
-        return self._dll.pbt_ereach_sn(col1, col2, aptr, aind, col2sup,
-                                       sparent, marked, out, stack)
 
     def dag_levels(self, lptr, lind):
         n = len(lptr) - 1

@@ -132,37 +132,6 @@ void pbt_symbolic_pattern(int64_t n, const int64_t* indptr,
   }
 }
 
-// ereach_sn: supernodal row pattern for one supernode block [col1, col2):
-// the set of descendant supernodes whose columns update this block, i.e.
-// the supernodes hit on etree paths from A-pattern entries of rows
-// col1..col2-1 up to (below) col1.  Returns count; out gets ascending
-// supernode ids.  marked is a caller scratch of sNo ints initialized once
-// to -1 (stamped with col1).  (reference: common/Reach.h:112 ereach_sn)
-int64_t pbt_ereach_sn(int64_t col1, int64_t col2, const int64_t* aptr,
-                      const int32_t* aind, const int32_t* col2sup,
-                      const int32_t* sparent, int64_t* marked, int32_t* out,
-                      int32_t* stack) {
-  int64_t top = 0;
-  int64_t cnt = 0;
-  int32_t cur_sn = col2sup[col1];
-  for (int64_t col = col1; col < col2; ++col) {
-    for (int64_t p = aptr[col]; p < aptr[col + 1]; ++p) {
-      int32_t r = aind[p];
-      if (r >= col1) continue;  // inside/below the block: not a descendant
-      int32_t s = col2sup[r];
-      int64_t depth = 0;
-      while (s != -1 && s < cur_sn && marked[s] != col1) {
-        stack[depth++] = s;
-        marked[s] = col1;
-        s = sparent[s];
-      }
-      for (int64_t k = 0; k < depth; ++k) out[cnt++] = stack[k];
-    }
-  }
-  (void)top;
-  return cnt;
-}
-
 // Longest-path level of each node in the DAG of a lower-triangular pattern
 // (edge j -> i for every off-diagonal entry i of column j).  Caller zeroes
 // lev.  Used for level-set trisolve scheduling of general (non-chordal) L.

@@ -44,10 +44,18 @@ class SupernodalExecutor:
         lay = plan.layout
         self.ncls = lay.ncls
         self.classes = lay.classes
-        self._a_map = [(jnp.asarray(m[0]), jnp.asarray(m[1]))
+        # A-scatter map uploads eagerly (every factorize needs it), int32
+        # (pool positions < 2^31 by the int32 table contract).  The L
+        # extraction map is nnz(L)-sized — hundreds of MB at scale, and
+        # the tunnel moves ~6 MB/s — so it uploads lazily on the first
+        # factor_values call (verification path only).
+        idx_t = np.int32 if lay.pool_elems() < 2**31 else np.int64
+        self._a_map = [(jnp.asarray(m[0].astype(idx_t)),
+                        jnp.asarray(m[1].astype(idx_t)))
                        for m in lay.a_map]
-        self._l_map = [(jnp.asarray(m[0]), jnp.asarray(m[1]))
-                       for m in lay.l_map]
+        self._map_t = idx_t
+        self._l_map_host = lay.l_map
+        self._l_map = None
         self._nnz_a = int(sum(m.shape[1] for m in lay.a_map))
         self._nnz_l = int(sum(m.shape[1] for m in lay.l_map))
         # Device-resident index tables, step axis leading.  All tables are
@@ -363,7 +371,22 @@ class SupernodalExecutor:
             pools[b.ccls], (start, jnp.int32(0)),
             (b.P * b.H, b.c)).reshape(b.P, b.H, b.c)
 
-    def _solve_lower_impl(self, pools, b_vec, flat_rep):
+    def _own_mask(self, P, axis_name):
+        """Owner stripe of a bucket's lane axis for SPMD solves: lane
+        l belongs to device l % G (same ownership striding as finalize;
+        SURVEY §7E).  Returns (P,) bool, all-true unsharded."""
+        if axis_name is None:
+            return jnp.ones((P,), bool)
+        g = jax.lax.axis_index(axis_name)
+        return (_iota(P) % self.plan.nshards) == g
+
+    def _solve_lower_impl(self, pools, b_vec, flat_rep, axis_name=None):
+        """Forward substitution over the wavefront schedule
+        (H2LeveledBlockedLsolve, Triangular_BCSC.h:171).  Sharded
+        (``axis_name``): each device solves its owner-striped panel lanes
+        and contributes x-entries / RHS updates additively; one psum per
+        level step merges them — the collective replacing the reference's
+        ``omp atomic`` scatter (Triangular_BCSC.h:218, SURVEY P7)."""
         from parsy_bench_tpu.ops.dense import tri_lower_solve
         n = self.plan.n
         x = jnp.zeros(n + 1, self.dtype)
@@ -374,29 +397,39 @@ class SupernodalExecutor:
             def step(carry, xs, seg=seg):
                 x, bc = carry
                 f_xs, rlo = xs
+                dx = jnp.zeros(n + 1, self.dtype)
+                dbc = jnp.zeros(n + 1, self.dtype)
                 for b, fx in zip(seg.fin, f_xs):
                     blk = self._panel_blk(pools, b, fx, rlo)
                     D = self._diag_tri(blk, fx["w"], b.c)
+                    own = self._own_mask(b.P, axis_name)
                     cidx = jnp.minimum(fx["cols0"][:, None] + _iota(b.c),
                                        n)
-                    colv = _iota(b.c)[None, :] < fx["w"][:, None]
+                    colv = (_iota(b.c)[None, :] < fx["w"][:, None]) \
+                        & own[:, None]
                     bvec = bc[cidx] * colv
                     xs_ = tri_lower_solve(D, bvec) * colv
-                    x = x.at[jnp.where(colv, cidx, n)].set(
+                    # same-level panels' columns are disjoint and start at
+                    # zero, so set == add and shards merge additively
+                    dx = dx.at[jnp.where(colv, cidx, n)].add(
                         jnp.where(colv, xs_, 0))
                     y = jnp.einsum("phc,pc->ph", blk, xs_,
                                    precision=jax.lax.Precision.HIGHEST,
-                   preferred_element_type=self.dtype)
-                    below = _iota(b.H)[None, :] >= fx["w"][:, None]
+                                   preferred_element_type=self.dtype)
+                    below = (_iota(b.H)[None, :] >= fx["w"][:, None]) \
+                        & own[:, None]
                     ridx = jnp.where(below, fx["rows"], n)
-                    bc = bc.at[ridx].add(-(y * below))
-                    bc = bc.at[n].set(0)
-                    x = x.at[n].set(0)
+                    dbc = dbc.at[ridx].add(-(y * below))
+                if axis_name is not None:
+                    dx = jax.lax.psum(dx, axis_name)
+                    dbc = jax.lax.psum(dbc, axis_name)
+                x = (x + dx).at[n].set(0)
+                bc = (bc + dbc).at[n].set(0)
                 return (x, bc), None
             (x, bc), _ = jax.lax.scan(step, (x, bc), (fin_xs, rlo_all))
         return x[:n]
 
-    def _solve_upper_impl(self, pools, b_vec, flat_rep):
+    def _solve_upper_impl(self, pools, b_vec, flat_rep, axis_name=None):
         from parsy_bench_tpu.ops.dense import tri_lower_solve_t
         n = self.plan.n
         x = jnp.zeros(n + 1, self.dtype)
@@ -407,22 +440,27 @@ class SupernodalExecutor:
                 reversed(self._unpack(flat_rep))):
             def step(x, xs, seg=seg):
                 f_xs, rlo = xs
+                dx = jnp.zeros(n + 1, self.dtype)
                 for b, fx in zip(seg.fin, f_xs):
                     blk = self._panel_blk(pools, b, fx, rlo)
                     D = self._diag_tri(blk, fx["w"], b.c)
+                    own = self._own_mask(b.P, axis_name)
                     below = _iota(b.H)[None, :] >= fx["w"][:, None]
                     xr = x[fx["rows"]] * below
                     t = jnp.einsum("phc,ph->pc", blk, xr,
                                    precision=jax.lax.Precision.HIGHEST,
-                   preferred_element_type=self.dtype)
+                                   preferred_element_type=self.dtype)
                     cidx = jnp.minimum(fx["cols0"][:, None] + _iota(b.c),
                                        n)
-                    colv = _iota(b.c)[None, :] < fx["w"][:, None]
+                    colv = (_iota(b.c)[None, :] < fx["w"][:, None]) \
+                        & own[:, None]
                     rhs = (bp[cidx] - t) * colv
                     xs_ = tri_lower_solve_t(D, rhs) * colv
-                    x = x.at[jnp.where(colv, cidx, n)].set(
+                    dx = dx.at[jnp.where(colv, cidx, n)].add(
                         jnp.where(colv, xs_, 0))
-                    x = x.at[n].set(0)
+                if axis_name is not None:
+                    dx = jax.lax.psum(dx, axis_name)
+                x = (x + dx).at[n].set(0)
                 return x, None
             x, _ = jax.lax.scan(step, x, (fin_xs, rlo_all), reverse=True)
         return x[:n]
@@ -449,6 +487,10 @@ class SupernodalExecutor:
     def factor_values(self, pools):
         """Values of the simplicial L pattern extracted from the pools
         (verification path; element-granular, not performance-relevant)."""
+        if self._l_map is None:
+            self._l_map = [(jnp.asarray(m[0].astype(self._map_t)),
+                            jnp.asarray(m[1].astype(self._map_t)))
+                           for m in self._l_map_host]
         return self._factor_values(pools)
 
     # --------------------------------------------------------- profiling

@@ -72,6 +72,20 @@ class ShardedSupernodalExecutor:
                 a_data, fr, fu, axis_name="p"),
             mesh=mesh, in_specs=(rep, rep, P("p", None)),
             out_specs=tuple(rep for _ in plan.classes), check_vma=False))
+        pool_specs = tuple(rep for _ in plan.classes)
+        # SPMD triangular solves: panel lanes owner-striped, per-step
+        # additive psum (see _solve_lower_impl)
+        self._solve = jax.jit(jax.shard_map(
+            lambda pools, b, fr: ex._solve_upper_impl(
+                pools, ex._solve_lower_impl(pools, b, fr, axis_name="p"),
+                fr, axis_name="p"),
+            mesh=mesh, in_specs=(pool_specs, rep, rep),
+            out_specs=rep, check_vma=False))
+        self._solve_lower = jax.jit(jax.shard_map(
+            lambda pools, b, fr: ex._solve_lower_impl(
+                pools, b, fr, axis_name="p"),
+            mesh=mesh, in_specs=(pool_specs, rep, rep),
+            out_specs=rep, check_vma=False))
 
     def factorize(self, a_data):
         """Replicated panel pools from the SPMD factorization."""
@@ -79,7 +93,13 @@ class ShardedSupernodalExecutor:
                                self._inner._flat_upd)
 
     def solve_spd(self, pools, b):
-        return self._inner.solve_spd(pools, b)
+        """A^{-1} b via SPMD forward+backward blocked substitution."""
+        return self._solve(pools, jnp.asarray(b), self._inner._flat_rep)
+
+    def solve_lower(self, pools, b):
+        """L^{-1} b, SPMD (the sharded blocked-trisolve headline path)."""
+        return self._solve_lower(pools, jnp.asarray(b),
+                                 self._inner._flat_rep)
 
     def factor_values(self, pools):
         return self._inner.factor_values(pools)

@@ -38,6 +38,32 @@ def ereach(a: CSC, parent: np.ndarray, k: int, *, upper=None) -> np.ndarray:
     return np.array(sorted(out), dtype=IDX)
 
 
+def reach_sn(rptr: np.ndarray, rows: np.ndarray, sptr: np.ndarray,
+             col2sup: np.ndarray, rhs_rows: np.ndarray) -> np.ndarray:
+    """Supernodal reach: every supernode touched when solving L x = b with
+    b nonzero only at ``rhs_rows``, over the blocked pattern (rptr, rows,
+    sptr, col2sup) — the closure of the RHS supernodes under the
+    supernode DAG edge d -> s when a below-diagonal row of d lies in s
+    (reference: ``reach_sn`` common/Reach.h:31, which maps the scalar
+    reach onto supernodes for blockedPrunedLSolve, Triangular_BCSC.h:55).
+
+    Returns ascending supernode indices (ascending = topological)."""
+    nsuper = len(rptr) - 1
+    active = np.zeros(nsuper, dtype=bool)
+    stack = list(np.unique(col2sup[np.asarray(rhs_rows, dtype=np.int64)]))
+    for s in stack:
+        active[s] = True
+    while stack:
+        d = stack.pop()
+        w = sptr[d + 1] - sptr[d]
+        below = rows[rptr[d] + w:rptr[d + 1]]
+        for t in np.unique(col2sup[below]):
+            if not active[t]:
+                active[t] = True
+                stack.append(t)
+    return np.nonzero(active)[0].astype(IDX)
+
+
 def reach(l_pattern: sp.csc_matrix, rhs_rows: np.ndarray) -> np.ndarray:
     """All rows touched when solving L x = b with b nonzero only at
     ``rhs_rows``: the DFS closure of rhs_rows under edges j -> i for

@@ -304,17 +304,21 @@ def build_class_layout(lpat: sp.csc_matrix, a: CSC,
                              - rlo[ci], 0)
         nrows[ci] = total  # slack added by the plan builder
 
-    # (supernode, row) -> panel row position, fully vectorized
+    # (supernode, row) -> panel row position, fully vectorized.  Keys are
+    # built once in int64; per-call astype churn dominated the inspector
+    # at n=1e5 before (12 s of pure dtype copies).
     sup_of_row = np.repeat(np.arange(nsuper, dtype=np.int64), np.diff(rptr))
     row_keys = sup_of_row * np.int64(n + 1) + rows.astype(np.int64)
+    col2sup64 = part.col2sup.astype(np.int64)
+    roww = rowoff * wpad          # int64: flat row base per supernode
 
     def entry_pos(i, j):
-        """(class, flat pool position) of entries L[i, j] (i >= j)."""
-        s = part.col2sup[j].astype(np.int64)
+        """(class, flat pool position) of entries L[i, j] (i >= j);
+        ``i``/``j`` must be int64."""
+        s = col2sup64[j]
         r = np.searchsorted(row_keys, s * np.int64(n + 1) + i)
         assert np.all(rows[r] == i), "entry outside supernodal pattern"
-        flat = ((rowoff[s] + (r - rptr[s])) * wpad[s]
-                + (j - sptr[s])).astype(np.int64)
+        flat = roww[s] + (r - rptr[s]) * wpad[s] + (j - sptr[s])
         return cls[s], flat
 
     acol = np.repeat(np.arange(n, dtype=np.int64), np.diff(a.indptr))

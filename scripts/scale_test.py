@@ -12,13 +12,24 @@ import numpy as np
 
 def main():
     import jax
+    # persistent compilation cache: the headline bench reuses these exact
+    # programs, so a scale_test run pre-warms the driver's bench compile
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from parsy_bench_tpu.core import generate
     from parsy_bench_tpu.config import SolverConfig
     from parsy_bench_tpu.models import CholeskySolver
 
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 48
     ordering = sys.argv[2] if len(sys.argv) > 2 else "nd"
-    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    cfg_kw = {}
+    for arg in sys.argv[4:]:          # e.g. width_classes=128 alpha=1.6
+        key, _, val = arg.partition("=")
+        if key in ("width_classes", "chunk_classes", "q_classes"):
+            cfg_kw[key] = tuple(int(x) for x in val.split(","))
+        elif key == "alpha":
+            cfg_kw["segment_alpha"] = float(val)
 
     t0 = time.perf_counter()
     a = generate.laplace_3d(k)
@@ -28,7 +39,7 @@ def main():
 
     t0 = time.perf_counter()
     solver = CholeskySolver(a, SolverConfig(
-        ordering=ordering, dtype="float32", tier="supernodal"))
+        ordering=ordering, dtype="float32", tier="supernodal", **cfg_kw))
     t_analyze = time.perf_counter() - t0
     plan = solver.plan
     print(json.dumps({
@@ -65,6 +76,27 @@ def main():
         "gflops": round(plan.flops / med / 1e9, 1),
         "vs_baseline": round(ref_s / med, 3),
         "residual": float(res),
+    }), flush=True)
+
+    # blocked trisolve (BASELINE.md second headline metric)
+    b = solver.ap.spd_rhs_for_ones()
+    bp = np.asarray(b, dtype=np.float32)
+    t0 = time.perf_counter()
+    x = jax.block_until_ready(
+        solver.executor.solve_loop(solver.lx, bp, iters))
+    t_sc = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            solver.executor.solve_loop(solver.lx, bp, iters))
+        times.append((time.perf_counter() - t0) / iters)
+    smed = sorted(times)[1]
+    nnzl = int(solver.lpat.nnz)
+    print(json.dumps({
+        "solve_compile_s": round(t_sc, 1),
+        "trisolve_s": round(smed, 5),
+        "trisolve_gnnz_per_s": round(nnzl / smed / 1e9, 3),
     }), flush=True)
 
 

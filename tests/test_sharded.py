@@ -40,3 +40,8 @@ def test_sharded_matches_single_device(g):
     inv[s.perm] = np.arange(a.n)
     x = np.asarray(ex.solve_spd(pools, b[s.perm]))[inv]
     assert np.max(np.abs(x - 1.0)) < 1e-2
+
+    # sharded forward solve matches the single-device executor
+    xl_sh = np.asarray(ex.solve_lower(pools, b[s.perm]))
+    xl_ref = np.asarray(ref.executor.solve_lower(ref.lx, b[ref.perm]))
+    assert np.allclose(xl_sh, xl_ref, atol=1e-4)

@@ -133,3 +133,25 @@ def test_pruned_sparse_rhs_solve():
     x = ps.solve(b)
     xref = sp.linalg.spsolve_triangular(l.to_scipy().tocsr(), b, lower=True)
     assert np.max(np.abs(x - xref)) < 1e-12
+
+
+def test_pruned_blocked_solve_matches_simplicial():
+    """Supernodal pruned solve (reach_sn + batched panel subset —
+    blockedPrunedLSolve, Triangular_BCSC.h:55) agrees with the simplicial
+    pruned path and touches a strict subset of panels."""
+    from parsy_bench_tpu.models import CholeskySolver, TriangularSolver
+    a = generate.SUITE["ecology_small"]()
+    l = CholeskySolver(a, SolverConfig(dtype="float64")
+                       ).factorize().factor_csc()
+    rows = np.array([5, 700, 2000])
+    b = np.zeros(l.n)
+    b[rows] = [1.0, -2.0, 0.5]
+    ref = TriangularSolver(l, SolverConfig(dtype="float64")
+                           ).pruned(rows).solve(b)
+    ts = TriangularSolver(l, SolverConfig(dtype="float64",
+                                          tier="supernodal"))
+    ps = ts.pruned(rows)
+    assert len(ps.sn_reach) < ts.plan.layout.part.nsuper
+    assert len(ps.cols) < l.n // 2
+    x = ps.solve(b)
+    assert np.max(np.abs(x - ref)) < 1e-9
