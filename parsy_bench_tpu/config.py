@@ -25,8 +25,12 @@ class SolverConfig:
     #: relaxed-amalgamation thresholds: merge child into parent when
     #: nchild_cols <= nrelax[0], or zeros-fraction <= zrelax[k] at size
     #: breakpoints nrelax[k] (CHOLMOD-style rule, choleskyTest01.cpp:111-112).
-    nrelax: Tuple[int, int, int] = (4, 16, 48)
-    zrelax: Tuple[float, float, float] = (0.8, 0.1, 0.05)
+    #: Defaults are ~2x the reference's (4,16,48)/(0.8,0.1,0.05): on TPU
+    #: extra explicit zeros ride the MXU for free while bigger panels cut
+    #: update-lane and row-movement counts (measured +20% factorize
+    #: throughput at n=1e5, scripts/scale_test.py r3).
+    nrelax: Tuple[int, int, int] = (8, 32, 96)
+    zrelax: Tuple[float, float, float] = (0.9, 0.2, 0.1)
     #: hard cap on supernode width; wider supernodes are split into panels of
     #: this width so every MXU tile class stays bounded.
     max_supernode_width: int = 128
@@ -38,11 +42,13 @@ class SolverConfig:
     #: gather at speed, scripts/microbench2.py).  Classes above 16 must be
     #: multiples of 16 (the blocked-Cholesky panel width, ops/dense.py).
     width_classes: Tuple[int, ...] = (32, 128)
-    #: update-chunk row classes (descending); each source chunk becomes one
-    #: lane of a batched MXU einsum.
+    #: update-chunk row classes (descending, multiples of 8); each source
+    #: chunk becomes one lane of a batched MXU einsum.
     chunk_classes: Tuple[int, ...] = (256, 64, 16)
-    #: padded overlap-width classes (ascending) for the update B operand.
-    q_classes: Tuple[int, ...] = (8, 32, 128)
+    #: padded aligned-overlap-width classes (ascending, multiples of 8)
+    #: for the update B operand; must cover max overlap + 7 alignment
+    #: pre-rows (splan packed gathers).
+    q_classes: Tuple[int, ...] = (16, 48, 136)
     #: scan-segmentation padding tolerance: close a segment when padding
     #: every bucket to the running lane maxima would exceed this multiple
     #: of the true work (ops/simplicial.py segment_levels).

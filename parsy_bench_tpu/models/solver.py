@@ -28,16 +28,29 @@ class CholeskySolver:
     """
 
     def __init__(self, a: CSC, config: SolverConfig | None = None):
+        import time as _time
         self.config = config or SolverConfig()
         if not a.is_lower():
             a = a.lower_half()
         self.a = a
+        #: per-stage inspector wall times (SURVEY §5.1 — the reference
+        #: splits symbolic time into ordering vs analysis,
+        #: choleskyTest01.cpp:136-138)
+        self.timings: dict = {}
+        _t0 = _time.perf_counter()
+
+        def _mark(key):
+            nonlocal _t0
+            now = _time.perf_counter()
+            self.timings[key] = round(now - _t0, 3)
+            _t0 = now
         # ---- inspector (host, once per pattern) -----------------------
         # fill-reducing ordering composed with a weighted postorder of the
         # etree (the reference fuses the same two permutations,
         # LSparsity.h:670-723) so supernode columns are contiguous.
         fill_perm = compute_ordering(a, self.config.ordering,
                                      self.config.given_perm)
+        _mark("ordering_s")
         ap1 = a.permute(fill_perm)
         parent1 = etree(ap1)
         cc1 = col_counts(ap1, parent1)
@@ -46,18 +59,23 @@ class CholeskySolver:
         self.ap = ap1.permute(post)
         self.parent = etree(self.ap)
         self.cc = col_counts(self.ap, self.parent)
+        _mark("etree_s")
         self.lpat = symbolic_pattern(self.ap, self.parent)
+        _mark("pattern_s")
 
         if self.config.tier == "supernodal":
             from parsy_bench_tpu.ops.supernodal import SupernodalExecutor
             from parsy_bench_tpu.symbolic.splan import build_supernodal_plan
             self.plan = build_supernodal_plan(
                 self.ap, self.parent, self.cc, self.lpat, self.config)
+            _mark("plan_s")
             if self.config.verify:
                 from parsy_bench_tpu.symbolic.verify import verify_plan
                 verify_plan(self.plan)
+                _mark("verify_s")
             self.executor = SupernodalExecutor(self.plan,
                                                dtype=self.config.dtype)
+            _mark("executor_init_s")
         else:
             from parsy_bench_tpu.symbolic.etree import tree_levels
             lev = tree_levels(self.parent)

@@ -172,11 +172,21 @@ class SupernodalExecutor:
         windows; one subtraction lands them on the window."""
         deltas = [jnp.zeros((seg.wslice[ci] + 1, c), self.dtype)
                   for ci, c in enumerate(self.classes)]
+        # packed pools: 8 consecutive rows per fat row, so the chunk
+        # gathers below move (Mc/8)-row payloads per index instead of
+        # per-row DMAs (index-driven gathers cost per ROW — the dominant
+        # update cost before round 3; splan aligns all chunk starts)
+        pools8 = [p.reshape(-1, 8 * c)
+                  for p, c in zip(pools, self.classes)]
         for b, xs in zip(seg.upd, upd_xs):
             G = xs["arow"].shape[0]
             for g in range(G):
-                A = pools[b.kcls][xs["arow"][g][:, None] + _iota(b.Mc)]
-                Braw = pools[b.kcls][xs["brow"][g][:, None] + _iota(b.Q)]
+                A = pools8[b.kcls][
+                    (xs["arow"][g] // 8)[:, None] + _iota(b.Mc // 8)
+                ].reshape(-1, b.Mc, b.K)
+                Braw = pools8[b.kcls][
+                    (xs["brow"][g] // 8)[:, None] + _iota(b.Q // 8)
+                ].reshape(-1, b.Q, b.K)
                 Chat = jnp.einsum("pmk,pqk->pmq", A, Braw,
                                   precision=jax.lax.Precision.HIGHEST,
                                   preferred_element_type=self.dtype)

@@ -282,15 +282,36 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
         bsel = intra < qq[pair_of]
         b_colpos = (rv[bsel] - sptr[ss[pair_of[bsel]]]).astype(np.int64)
         bq_off = _cumsum0(qq)          # pair -> flat colpos range
-        # q-classes (padded overlap widths)
+        # --- 8-row alignment (packed gathers) ------------------------
+        # Chunk/operand starts are floored to multiples of PACK so the
+        # executor can gather PACK-row-fat packed rows at stream-class
+        # rates (index-driven gathers cost per ROW, scripts/microbench6);
+        # the up-to-PACK-1 pre-rows per pair are masked via dst dummies /
+        # no-match colq entries.
+        PACK = 8
+        astart_pair = rowoff[dd] + lb            # first tail row (pool)
+        shift = astart_pair % PACK               # per-pair misalignment
+        m_eff = mm + shift
+        qq_eff = qq + shift
+        # q-classes (padded aligned overlap widths)
         qcls_ladder = np.asarray(config.q_classes)
-        if len(qq) and qcls_ladder[-1] < qq.max():
+        if np.any(qcls_ladder % PACK):
+            raise ValueError("q_classes must be multiples of 8")
+        if len(qq) and qcls_ladder[-1] < qq_eff.max():
             raise ValueError(
-                f"q_classes must cover the widest overlap ({qq.max()})")
-        q_idx = np.searchsorted(qcls_ladder, qq)
+                f"q_classes must cover the widest aligned overlap "
+                f"({qq_eff.max(initial=0)})")
+        q_idx = np.searchsorted(qcls_ladder, qq_eff)
         qpad = qcls_ladder[q_idx]
-        # chunks
-        cpair, cmc, coff, cmtrue = _chunk_pairs(mm, config.chunk_classes)
+        # chunks over the shifted row ranges; boundaries stay aligned
+        # because chunk classes are multiples of PACK
+        if np.any(np.asarray(config.chunk_classes) % PACK):
+            raise ValueError("chunk_classes must be multiples of 8")
+        cpair, cmc, coff, cmtrue_eff = _chunk_pairs(
+            m_eff, config.chunk_classes)
+        col0 = np.where(coff == 0, shift[cpair], 0)   # first real column
+        ccnt = cmtrue_eff - col0                      # real rows in chunk
+        cpairrow0 = coff + col0 - shift[cpair]        # first pair row
         ck = cls[dd[cpair]]
         cc_t = cls[ss[cpair]]
         clev = lev[ss[cpair]]
@@ -409,17 +430,20 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
                 gg = gshard[bi]
                 tt = clev[bi] - t0
                 ll = lane[bi]
-                arow[gg, tt, ll] = rowoff[dd[pb]] + lb[pb] + coff[bi]
-                brow[gg, tt, ll] = rowoff[dd[pb]] + lb[pb]
-                # dst rows: mtrue entries per chunk from the flat map
-                fstart = pr_off[pb] + coff[bi]
-                fr, owner, intra_c = _expand(fstart, cmtrue[bi])
-                dstt[gg[owner], tt[owner], ll[owner], intra_c] = \
-                    dst_local_flat[fr]
-                # overlap target columns: q entries per chunk
+                # aligned chunk/operand starts (multiples of PACK)
+                arow[gg, tt, ll] = (astart_pair[pb] - shift[pb]
+                                    + coff[bi])
+                brow[gg, tt, ll] = astart_pair[pb] - shift[pb]
+                # dst rows: the chunk's real rows start at column col0
+                # (pre-rows from alignment stay at the dummy row)
+                fstart = pr_off[pb] + cpairrow0[bi]
+                fr, owner, intra_c = _expand(fstart, ccnt[bi])
+                dstt[gg[owner], tt[owner], ll[owner],
+                     col0[bi][owner] + intra_c] = dst_local_flat[fr]
+                # overlap target columns at q-positions shift..shift+q
                 br, owner_b, intra_b = _expand(bq_off[pb], qq[pb])
-                colq[gg[owner_b], tt[owner_b], ll[owner_b], intra_b] = \
-                    b_colpos[br]
+                colq[gg[owner_b], tt[owner_b], ll[owner_b],
+                     shift[pb][owner_b] + intra_b] = b_colpos[br]
                 upd_buckets.append(UpdBucket(
                     kcls=kcls, K=K, ccls=ccls, c=c, Mc=Mc, Q=Q,
                     arow=arow, brow=brow, colq=colq, dst=dstt))
@@ -432,10 +456,13 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
                                    fin=fin_buckets, rlo=rlo_seg,
                                    wslice=tuple(wslice)))
 
-    # pool slack so every window slice and padded gather is in-bounds
+    # pool slack so every window slice and padded gather is in-bounds;
+    # rounded to a multiple of 8 so pools reshape to packed (r/8, 8c)
+    # form for the fat-row gathers
     max_mc = max(max(config.chunk_classes), max(config.q_classes)) \
         if with_updates else 0
-    nrows = (layout.nrows + max_over + max_mc + 8 + 1).astype(np.int64)
+    nrows = layout.nrows + max_over + max_mc + 8 + 1
+    nrows = (-(-nrows // 8) * 8).astype(np.int64)
 
     if cc is not None:
         cc64 = cc.astype(np.float64)

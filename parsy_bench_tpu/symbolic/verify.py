@@ -145,17 +145,28 @@ def verify_plan(plan: SupernodalPlan) -> dict:
                         continue
                     nchunks += int(real.sum())
                     ar, br, dst = ar[real], br[real], dst[real]
-                    d = sup_of_rows(b.kcls, br)
+                    # packed-gather invariant: chunk/operand starts are
+                    # 8-aligned (splan PACK alignment)
+                    _check(np.all(ar % 8 == 0) and np.all(br % 8 == 0),
+                           f"seg{si} t{t}: chunk start not 8-aligned")
+                    # real dst entries form one contiguous run starting
+                    # at the chunk's alignment shift
+                    mask = dst != dummy
+                    cnt_rows = mask.sum(axis=1)
+                    j0 = np.argmax(mask, axis=1)
+                    cols = np.arange(dst.shape[1])
+                    _check(np.array_equal(
+                        mask, (cols[None, :] >= j0[:, None])
+                        & (cols[None, :] < (j0 + cnt_rows)[:, None])),
+                        f"seg{si} t{t}: chunk dst mask not a single run")
+                    # the first real source row decodes the source panel
+                    d = sup_of_rows(b.kcls, ar + j0)
                     _check(np.all(d >= 0),
-                           f"seg{si}: brow outside any panel")
+                           f"seg{si}: chunk rows outside any panel")
                     # dependency: source finalized strictly earlier
                     _check(np.all(fin_step[d] < t_base + t),
                            f"seg{si} t{t}: update reads a source panel "
                            f"not yet finalized")
-                    # dst rows decode to target supernodes on this level
-                    mask = dst != dummy
-                    _check(np.all(mask[:, 0]),
-                           f"seg{si} t{t}: chunk with empty first row")
                     _check(np.all(dst[mask] >= 0)
                            and np.all(dst[mask] < dummy),
                            f"seg{si} t{t}: dst row outside window")
@@ -164,26 +175,20 @@ def verify_plan(plan: SupernodalPlan) -> dict:
                     _check(np.all(lev[s2[mask]] == t_base + t),
                            f"seg{si} t{t}: dst row not on current level")
                     # pair identity (d, first target supernode) must exist
-                    want = d * np.int64(nsuper) + s2[:, 0]
+                    rows_idx = np.arange(len(j0))
+                    want = d * np.int64(nsuper) + s2[rows_idx, j0]
                     k = np.searchsorted(key_sorted, want)
                     _check(np.all(k < len(key_sorted)) and np.all(
                         key_sorted[np.clip(k, 0, len(key_sorted) - 1)]
                         == want),
                         f"seg{si} t{t}: chunk matches no emitted pair")
                     pidx = p_order[k]
-                    off_in_pair = (ar - lay.rowoff[d] - lb[pidx])
+                    off_in_pair = (ar + j0 - lay.rowoff[d] - lb[pidx])
                     _check(np.all(off_in_pair >= 0)
-                           and np.all(off_in_pair < mm[pidx]),
+                           and np.all(off_in_pair + cnt_rows
+                                      <= mm[pidx]),
                            f"seg{si} t{t}: chunk rows outside pair range")
-                    # coverage scatter assumes real dst entries fill a
-                    # contiguous prefix of each chunk (column 0..cnt-1);
-                    # verify that before trusting the tally
-                    cnt_rows = mask.sum(axis=1)
-                    _check(np.array_equal(
-                        mask, np.arange(dst.shape[1])[None, :]
-                        < cnt_rows[:, None]),
-                        f"seg{si} t{t}: chunk dst mask not contiguous")
-                    flat0 = pr_off[pidx] + off_in_pair
+                    flat0 = pr_off[pidx] + off_in_pair - j0
                     np.add.at(covered,
                               (flat0[:, None]
                                + np.arange(dst.shape[1])[None, :])[mask],

@@ -3,13 +3,22 @@
 Reference: cholesky/performanceModel.h — flop macros (OPS_GEMM/TRSM/PPF
 :19-21), machine-calibrated per-kernel time models (:26-88), per-supernode
 cost ``computeCostperBlock`` (:151) and schedule communication analysis
-``computeComCost`` (:194).  Here the "machine" is one TPU chip, calibrated
-from scripts/microbench2.py measurements (not datasheet numbers): row
-gathers and row scatters have their own element rates far below HBM
-bandwidth, contiguous window slices run at stream rate, and batched
-matmuls at the MXU rate.  The report tells you whether a slow
-factorization is a scheduling problem (steps), a padding problem (wasted
-lanes), or physics (gather-bound).
+``computeComCost`` (:194).  Here the "machine" is one TPU chip driven
+through XLA, calibrated round 3 from scripts/microbench6.py +
+scripts/diag_r3.py with the host-dispatch floor subtracted.  The three
+governing floors (none of which is raw HBM bandwidth):
+
+* **row movement** — index-driven gathers/scatters move whole rows at a
+  roughly width-independent ROW rate (small per-row DMAs), so cost scales
+  with rows moved, not bytes;
+* **per-lane batched-matmul latency** — XLA serializes batched small
+  einsums over the batch axis (~0.1 us per lane floor);
+* **sequential-op latency** — dependent tiny kernels (the rank-1
+  Cholesky chain) cost ~5-8 us each regardless of size.
+
+The report tells you whether a slow factorization is a scheduling
+problem (steps/chains), a batching problem (lanes), or a data-movement
+problem (rows), which is what the ladder/segmentation knobs tune.
 """
 from __future__ import annotations
 
@@ -22,22 +31,23 @@ from parsy_bench_tpu.symbolic.splan import SupernodalPlan
 
 @dataclasses.dataclass(frozen=True)
 class ChipModel:
-    """Measured throughputs of one chip (defaults: the v5e-class chip
-    behind the axon tunnel, scripts/microbench2.py marginal rates)."""
-    name: str = "tpu-v5e-measured"
-    mxu_flops: float = 50e12         # sustained f32 batched-matmul flops/s
-    gather_eps: float = 14.8e9       # row-gather elements/s (128-wide)
-    scatter_eps: float = 10.9e9      # row-scatter-add elements/s
-    stream_bytes: float = 6e11       # contiguous slice copy bytes/s
-    launch_s: float = 2e-6           # per-fused-kernel overhead
-    step_s: float = 1e-5             # per scan-step sequential overhead
+    """Measured throughputs/floors of one chip behind XLA (v5e-class chip
+    via the axon tunnel; scripts/microbench6.py, dispatch-corrected)."""
+    name: str = "tpu-v5e-xla-r3"
+    mxu_flops: float = 5e12          # sustained batched-einsum flops/s
+    gather_rows: float = 60e6        # index-driven row gathers, rows/s
+    scatter_rows: float = 38e6       # row scatter-add, rows/s
+    stream_bytes: float = 1.4e11     # window slice+update bytes/s
+    lane_s: float = 1.1e-7           # per-einsum-lane serialization floor
+    chain_op_s: float = 5e-6         # per dependent tiny kernel (rank-1)
+    step_s: float = 8e-6             # per scan-step sequential overhead
 
 
 @dataclasses.dataclass
 class KernelCost:
     label: str
     flops: float          # padded flops executed
-    elems: float          # gather/scatter elements moved
+    rows: float           # gather/scatter rows moved
     count: float          # batch lanes x steps
     model_s: float        # modeled time
 
@@ -86,18 +96,20 @@ def factorize_cost(plan: SupernodalPlan, chip: ChipModel | None = None,
         # window slice in/out per class
         wbytes = 2.0 * dtype_bytes * T * sum(
             seg.wslice[ci] * c for ci, c in enumerate(classes))
-        seg_t += wbytes / chip.stream_bytes + chip.launch_s * 2 * T
+        seg_t += wbytes / chip.stream_bytes
         for b in seg.upd:
             G, _, P = b.arow.shape
             lanes = G * T * P
             fl = 2.0 * lanes * b.Mc * b.Q * (b.K + b.c)
-            gat = lanes * (b.Mc + b.Q) * b.K
-            sca = lanes * b.Mc * b.c
-            t = (fl / chip.mxu_flops + gat / chip.gather_eps
-                 + sca / chip.scatter_eps) + chip.launch_s * 3 * T
+            grows = lanes * (b.Mc + b.Q)          # A chunk + B overlap rows
+            srows = lanes * b.Mc                  # C rows into the delta
+            t = (lanes * chip.lane_s * 2          # two einsums per bucket
+                 + fl / chip.mxu_flops
+                 + grows / chip.gather_rows
+                 + srows / chip.scatter_rows)
             kernels.append(KernelCost(
                 f"seg{si}:upd{b.Mc}x{b.K}q{b.Q}->{b.c}",
-                fl, gat + sca, lanes, t))
+                fl, grows + srows, lanes, t))
             padded_flops += fl
             seg_t += t
         for b in seg.fin:
@@ -105,9 +117,15 @@ def factorize_cost(plan: SupernodalPlan, chip: ChipModel | None = None,
             chol = lanes * b.c ** 3 / 3.0 * 4.0   # blocked chol+inverse
             trsm = 2.0 * lanes * b.H * b.c ** 2
             fl = chol + trsm
+            # dependent-kernel chain: ~2.5 ops per rank-1 column step plus
+            # per-panel inverse/TRSM plumbing, paid once per scan step
+            chain = T * (2.5 * b.c + 40) * chip.chain_op_s
             by = dtype_bytes * lanes * b.H * b.c * 2
-            t = (fl / chip.mxu_flops + by / chip.stream_bytes
-                 + chip.launch_s * 4 * T)
+            # 32-wide intermediates are lane-padded 4x on the VPU tiles
+            pad = 4.0 if b.c < 128 else 1.0
+            t = (chain + fl / chip.mxu_flops
+                 + pad * by / chip.stream_bytes
+                 + lanes * chip.lane_s)
             kernels.append(KernelCost(
                 f"seg{si}:fin{b.c}x{b.H}", fl, 0, lanes, t))
             padded_flops += fl

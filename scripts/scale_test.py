@@ -26,10 +26,15 @@ def main():
     cfg_kw = {}
     for arg in sys.argv[4:]:          # e.g. width_classes=128 alpha=1.6
         key, _, val = arg.partition("=")
-        if key in ("width_classes", "chunk_classes", "q_classes"):
+        if key in ("width_classes", "chunk_classes", "q_classes",
+                   "nrelax"):
             cfg_kw[key] = tuple(int(x) for x in val.split(","))
+        elif key == "zrelax":
+            cfg_kw[key] = tuple(float(x) for x in val.split(","))
         elif key == "alpha":
             cfg_kw["segment_alpha"] = float(val)
+        elif key == "max_width":
+            cfg_kw["max_supernode_width"] = int(val)
 
     t0 = time.perf_counter()
     a = generate.laplace_3d(k)
@@ -44,6 +49,7 @@ def main():
     plan = solver.plan
     print(json.dumps({
         "analyze_s": round(t_analyze, 1),
+        "stage_timings": solver.timings,
         "nsuper": int(plan.layout.part.nsuper),
         "nlev": plan.nlev, "nseg": len(plan.segments),
         "flops_G": round(plan.flops / 1e9, 2),
