@@ -69,20 +69,23 @@ def main() -> None:
 
     data = solver.ap.data.astype(np.float32)
 
-    # Timed phase: _ITERS full factorizations inside ONE device program
-    # (executor.factorize_loop), repeated 3x, median per-iteration time.
-    # Host->device dispatch latency through the axon tunnel is not part
-    # of the numeric phase being measured; the reference's timed loop
-    # (choleskyTest01.cpp:199-277) pays no per-iteration process overhead
-    # either.  Iterations are chained fold-proof (see factorize_loop).
+    # Timed phase: _ITERS full factorizations, 3 rounds, median
+    # per-iteration time.  Execution is per-segment programs
+    # (factorize_segmented): the monolithic whole-factorization program
+    # exceeds the remote compile helper's memory at this scale, and the
+    # per-segment dispatch overhead (~0.1 ms x ~30 segments) is <1% of
+    # the numeric time being measured.  The reference's timed loop
+    # (choleskyTest01.cpp:199-277) is the same analyze-once/factor-many
+    # protocol.
     t0 = time.perf_counter()
     solver.lx = jax.block_until_ready(
-        solver.executor.factorize_loop(data, _ITERS))
+        solver.executor.factorize_segmented(data))
     compile_s = time.perf_counter() - t0
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        lx = solver.executor.factorize_loop(data, _ITERS)
+        for _i in range(_ITERS):
+            lx = solver.executor.factorize_segmented(data)
         jax.block_until_ready(lx)
         times.append((time.perf_counter() - t0) / _ITERS)
     median = sorted(times)[len(times) // 2]

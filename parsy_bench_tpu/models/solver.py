@@ -229,9 +229,11 @@ class TriangularSolver:
             self.executor = SupernodalExecutor(self.plan,
                                                dtype=self.config.dtype)
             # the "A scatter" of the layout maps L's entries straight into
-            # the class pools — for trisolve the input IS the factor
-            self._lx = jax.jit(self.executor._init_pools)(
-                jnp.asarray(l.data))
+            # the class pools — for trisolve the input IS the factor;
+            # prepare_solve_pools stores the diag-block inverses the
+            # solves read from the strict upper triangles
+            self._lx = self.executor.prepare_solve_pools(
+                jax.jit(self.executor._init_pools)(jnp.asarray(l.data)))
         else:
             from parsy_bench_tpu.symbolic.plan import dag_levels
             import scipy.sparse as sp
@@ -326,8 +328,8 @@ class PrunedBlockedTriangularSolve:
         self.plan = build_trisolve_plan(lsub, self.config)
         self.executor = SupernodalExecutor(self.plan,
                                            dtype=self.config.dtype)
-        self._lx = jax.jit(self.executor._init_pools)(
-            jnp.asarray(lsub.data))
+        self._lx = self.executor.prepare_solve_pools(
+            jax.jit(self.executor._init_pools)(jnp.asarray(lsub.data)))
 
     def solve(self, b: np.ndarray) -> np.ndarray:
         """x = L^{-1} b where b is nonzero only on the RHS pattern; work

@@ -54,10 +54,9 @@ class SupernodalExecutor:
                         jnp.asarray(m[1].astype(idx_t)))
                        for m in lay.a_map]
         self._map_t = idx_t
-        self._l_map_host = lay.l_map
         self._l_map = None
         self._nnz_a = int(sum(m.shape[1] for m in lay.a_map))
-        self._nnz_l = int(sum(m.shape[1] for m in lay.l_map))
+        self._nnz_l = int(lay.nnz_l)
         # Device-resident index tables, step axis leading.  All tables are
         # PACKED into two flat int32 buffers uploaded in single transfers:
         # per-array uploads through the axon tunnel pay ~10 ms latency
@@ -256,6 +255,13 @@ class SupernodalExecutor:
                 off += Pm
                 wv = w[:, None, None]
                 Ltop = jnp.where((i_c < wv) & (j_c < wv), Lb, 0)
+                # store Linv^T in the (otherwise zero) strict upper
+                # triangle of the diag block: solves reconstruct the
+                # triangular inverse from the pool with no extra memory
+                # and no per-solve Neumann products (see _inv_blk)
+                Ltop = Ltop + jnp.where(
+                    (j_c > i_c) & (i_c < wv) & (j_c < wv),
+                    jnp.swapaxes(Lib, 1, 2), 0)
                 Y = jnp.einsum("phk,pck->phc", blk, Lib,
                                precision=jax.lax.Precision.HIGHEST,
                    preferred_element_type=self.dtype)
@@ -311,6 +317,31 @@ class SupernodalExecutor:
         """Numeric supernodal Cholesky: A values -> per-class panel pools."""
         return self._factorize(jnp.asarray(a_data), self._flat_rep,
                                self._flat_upd)
+
+    def factorize_segmented(self, a_data):
+        """Numeric factorization with one device program PER SEGMENT
+        instead of one monolithic program.  At n >= ~2.5e5 the monolithic
+        factorize exceeds the remote compiler's memory (hundreds of
+        buckets inlined); per-segment programs compile in bounded memory
+        and the extra per-segment dispatch (~0.1 ms each) is noise next
+        to the numeric time at that scale."""
+        if not hasattr(self, "_seg_fns"):
+            def make(si, seg):
+                def run(pools, fr, fu):
+                    upd_xs, fin_xs, rlo = self._unpack(fr, fu)[si]
+                    def step(pools, xs, seg=seg):
+                        u, f, rlo_t = xs
+                        return self._step(list(pools), seg, u, f,
+                                          rlo_t), None
+                    return jax.lax.scan(step, list(pools),
+                                        (upd_xs, fin_xs, rlo))[0]
+                return jax.jit(run)
+            self._seg_fns = [make(si, seg) for si, seg
+                             in enumerate(self.plan.segments)]
+        pools = tuple(jax.jit(self._init_pools)(jnp.asarray(a_data)))
+        for fn in self._seg_fns:
+            pools = tuple(fn(pools, self._flat_rep, self._flat_upd))
+        return pools
 
     def factorize_loop(self, a_data, iters: int):
         """Run ``iters`` full factorizations inside ONE device program and
@@ -375,6 +406,59 @@ class SupernodalExecutor:
         return D + jnp.where((i == j) & (i >= wv),
                              jnp.ones((), self.dtype), 0)
 
+    def _inv_blk(self, blk, w, c):
+        """Reconstruct the diag block's triangular inverse from the pool:
+        strict lower = transpose of the Linv^T stored in the strict upper
+        triangle by _finalize / prepare_solve_pools, diagonal = 1/l_ii.
+        Turns every per-solve TRSM into one einsum with no Neumann
+        products (the dependent-kernel chains dominated solve time)."""
+        i = jax.lax.broadcasted_iota(jnp.int32, (1, c, c), 1)
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, c, c), 2)
+        wv = w[:, None, None]
+        top = blk[:, :c, :]
+        strict = jnp.where((i > j) & (i < wv) & (j < wv),
+                           jnp.swapaxes(top, 1, 2), 0)
+        dvec = jnp.diagonal(top, axis1=1, axis2=2)          # (P, c)
+        valid = _iota(c)[None, :] < w[:, None]
+        dinv = jnp.where(valid, 1.0 / jnp.where(valid, dvec, 1.0), 0)
+        return strict + jnp.where(i == j, dinv[:, :, None], 0)
+
+    def _prepare_solve_impl(self, pools, flat_rep):
+        """Write Linv^T into every factored panel's strict upper triangle
+        (for factors loaded as values, e.g. the blocked TriangularSolver
+        path — factorize() already stores it)."""
+        from parsy_bench_tpu.ops.dense import nilpotent_inv
+        for seg, (_, fin_xs, rlo_all) in zip(self.plan.segments,
+                                             self._unpack(flat_rep)):
+            def step(pools, xs, seg=seg):
+                f_xs, rlo = xs
+                for b, fx in zip(seg.fin, f_xs):
+                    c = b.c
+                    blk = self._panel_blk(pools, b, fx, rlo)
+                    D = self._diag_tri(blk, fx["w"], c)
+                    Linv = nilpotent_inv(D)
+                    i = jax.lax.broadcasted_iota(jnp.int32, (1, c, c), 1)
+                    j = jax.lax.broadcasted_iota(jnp.int32, (1, c, c), 2)
+                    wv = fx["w"][:, None, None]
+                    upper = jnp.where((j > i) & (i < wv) & (j < wv),
+                                      jnp.swapaxes(Linv, 1, 2), 0)
+                    top = blk[:, :c, :] + upper
+                    new = jnp.concatenate([top, blk[:, c:, :]], axis=1)
+                    start = rlo[b.ccls] + fx["boff"]
+                    pools = list(pools)
+                    pools[b.ccls] = jax.lax.dynamic_update_slice(
+                        pools[b.ccls], new.reshape(b.P * b.H, c),
+                        (start, jnp.int32(0)))
+                return tuple(pools), None
+            pools, _ = jax.lax.scan(step, tuple(pools), (fin_xs, rlo_all))
+        return pools
+
+    def prepare_solve_pools(self, pools):
+        """Pools with stored inverses, from a values-only factor."""
+        if not hasattr(self, "_prepare_solve"):
+            self._prepare_solve = jax.jit(self._prepare_solve_impl)
+        return self._prepare_solve(pools, self._flat_rep)
+
     def _panel_blk(self, pools, b, xs, rlo):
         start = rlo[b.ccls] + xs["boff"]
         return jax.lax.dynamic_slice(
@@ -396,8 +480,10 @@ class SupernodalExecutor:
         (``axis_name``): each device solves its owner-striped panel lanes
         and contributes x-entries / RHS updates additively; one psum per
         level step merges them — the collective replacing the reference's
-        ``omp atomic`` scatter (Triangular_BCSC.h:218, SURVEY P7)."""
-        from parsy_bench_tpu.ops.dense import tri_lower_solve
+        ``omp atomic`` scatter (Triangular_BCSC.h:218, SURVEY P7).
+
+        Pools must carry stored diag-block inverses (factorize output;
+        use ``prepare_solve_pools`` for a values-only factor)."""
         n = self.plan.n
         x = jnp.zeros(n + 1, self.dtype)
         bc = jnp.concatenate([b_vec.astype(self.dtype),
@@ -411,14 +497,17 @@ class SupernodalExecutor:
                 dbc = jnp.zeros(n + 1, self.dtype)
                 for b, fx in zip(seg.fin, f_xs):
                     blk = self._panel_blk(pools, b, fx, rlo)
-                    D = self._diag_tri(blk, fx["w"], b.c)
+                    Linv = self._inv_blk(blk, fx["w"], b.c)
                     own = self._own_mask(b.P, axis_name)
                     cidx = jnp.minimum(fx["cols0"][:, None] + _iota(b.c),
                                        n)
                     colv = (_iota(b.c)[None, :] < fx["w"][:, None]) \
                         & own[:, None]
                     bvec = bc[cidx] * colv
-                    xs_ = tri_lower_solve(D, bvec) * colv
+                    xs_ = jnp.einsum(
+                        "pij,pj->pi", Linv, bvec,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=self.dtype) * colv
                     # same-level panels' columns are disjoint and start at
                     # zero, so set == add and shards merge additively
                     dx = dx.at[jnp.where(colv, cidx, n)].add(
@@ -440,7 +529,6 @@ class SupernodalExecutor:
         return x[:n]
 
     def _solve_upper_impl(self, pools, b_vec, flat_rep, axis_name=None):
-        from parsy_bench_tpu.ops.dense import tri_lower_solve_t
         n = self.plan.n
         x = jnp.zeros(n + 1, self.dtype)
         bp = jnp.concatenate([b_vec.astype(self.dtype),
@@ -453,7 +541,7 @@ class SupernodalExecutor:
                 dx = jnp.zeros(n + 1, self.dtype)
                 for b, fx in zip(seg.fin, f_xs):
                     blk = self._panel_blk(pools, b, fx, rlo)
-                    D = self._diag_tri(blk, fx["w"], b.c)
+                    Linv = self._inv_blk(blk, fx["w"], b.c)
                     own = self._own_mask(b.P, axis_name)
                     below = _iota(b.H)[None, :] >= fx["w"][:, None]
                     xr = x[fx["rows"]] * below
@@ -465,7 +553,10 @@ class SupernodalExecutor:
                     colv = (_iota(b.c)[None, :] < fx["w"][:, None]) \
                         & own[:, None]
                     rhs = (bp[cidx] - t) * colv
-                    xs_ = tri_lower_solve_t(D, rhs) * colv
+                    xs_ = jnp.einsum(
+                        "pji,pj->pi", Linv, rhs,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=self.dtype) * colv
                     dx = dx.at[jnp.where(colv, cidx, n)].add(
                         jnp.where(colv, xs_, 0))
                 if axis_name is not None:
@@ -500,7 +591,7 @@ class SupernodalExecutor:
         if self._l_map is None:
             self._l_map = [(jnp.asarray(m[0].astype(self._map_t)),
                             jnp.asarray(m[1].astype(self._map_t)))
-                           for m in self._l_map_host]
+                           for m in self.plan.layout.l_map]
         return self._factor_values(pools)
 
     # --------------------------------------------------------- profiling

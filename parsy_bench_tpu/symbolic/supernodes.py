@@ -226,14 +226,52 @@ class ClassLayout:
     rlo: np.ndarray           # (ncls, nlev) window start row
     wrows: np.ndarray         # (ncls, nlev) true window rows
     a_map: list               # per class: (2, k) [flat pool pos; a-data idx]
-    l_map: list               # per class: (2, k) [flat pool pos; l-nnz idx]
+    lpat: sp.csc_matrix       # simplicial L pattern (for lazy l_map)
+    nnz_l: int                # nnz of the simplicial pattern
+    _l_map_cache: list | None = None
 
     @property
     def ncls(self) -> int:
         return len(self.classes)
 
+    @property
+    def l_map(self) -> list:
+        """Per class (2, k) [flat pool pos; l-nnz idx] extraction map of
+        the simplicial L pattern.  Computed lazily: it is nnz(L)-sized
+        (tens of millions of entries at reference scale) and only the
+        verification path (factor_values) reads it — eager computation
+        used to dominate the whole plan emission."""
+        if self._l_map_cache is None:
+            lptr = self.lpat.indptr.astype(np.int64)
+            n = self.lpat.shape[0]
+            lcol = np.repeat(np.arange(n, dtype=np.int64), np.diff(lptr))
+            lc, lflat = _entry_positions(
+                self, self.lpat.indices.astype(np.int64), lcol)
+            self._l_map_cache = [
+                np.stack([lflat[lc == ci], np.nonzero(lc == ci)[0]])
+                for ci in range(self.ncls)]
+        return self._l_map_cache
+
     def pool_elems(self) -> int:
         return int(sum(int(r) * c for r, c in zip(self.nrows, self.classes)))
+
+
+def _entry_positions(lay: "ClassLayout", i: np.ndarray,
+                     j: np.ndarray) -> tuple:
+    """(class, flat pool position) of entries L[i, j] (i >= j, int64)."""
+    part = lay.part
+    n = lay.lpat.shape[0]
+    nsuper = part.nsuper
+    sup_of_row = np.repeat(np.arange(nsuper, dtype=np.int64),
+                           np.diff(lay.rptr))
+    row_keys = sup_of_row * np.int64(n + 1) + lay.rows.astype(np.int64)
+    col2sup64 = part.col2sup.astype(np.int64)
+    s = col2sup64[j]
+    r = np.searchsorted(row_keys, s * np.int64(n + 1) + i)
+    assert np.all(lay.rows[r] == i), "entry outside supernodal pattern"
+    flat = (lay.rowoff[s] * lay.wpad[s] + (r - lay.rptr[s]) * lay.wpad[s]
+            + (j - part.sptr[s]))
+    return lay.cls[s], flat
 
 
 def _height_class(h: np.ndarray, base: np.ndarray) -> np.ndarray:
@@ -304,33 +342,12 @@ def build_class_layout(lpat: sp.csc_matrix, a: CSC,
                              - rlo[ci], 0)
         nrows[ci] = total  # slack added by the plan builder
 
-    # (supernode, row) -> panel row position, fully vectorized.  Keys are
-    # built once in int64; per-call astype churn dominated the inspector
-    # at n=1e5 before (12 s of pure dtype copies).
-    sup_of_row = np.repeat(np.arange(nsuper, dtype=np.int64), np.diff(rptr))
-    row_keys = sup_of_row * np.int64(n + 1) + rows.astype(np.int64)
-    col2sup64 = part.col2sup.astype(np.int64)
-    roww = rowoff * wpad          # int64: flat row base per supernode
-
-    def entry_pos(i, j):
-        """(class, flat pool position) of entries L[i, j] (i >= j);
-        ``i``/``j`` must be int64."""
-        s = col2sup64[j]
-        r = np.searchsorted(row_keys, s * np.int64(n + 1) + i)
-        assert np.all(rows[r] == i), "entry outside supernodal pattern"
-        flat = roww[s] + (r - rptr[s]) * wpad[s] + (j - sptr[s])
-        return cls[s], flat
-
+    lay = ClassLayout(part=part, classes=classes, rptr=rptr, rows=rows,
+                      cls=cls, wpad=wpad, hpad=hpad, rowoff=rowoff,
+                      nrows=nrows, lev=lev, rlo=rlo, wrows=wrows,
+                      a_map=[], lpat=lpat, nnz_l=int(lpat.nnz))
     acol = np.repeat(np.arange(n, dtype=np.int64), np.diff(a.indptr))
-    ac, aflat = entry_pos(a.indices.astype(np.int64), acol)
-    lptr = lpat.indptr.astype(np.int64)
-    lcol = np.repeat(np.arange(n, dtype=np.int64), np.diff(lptr))
-    lc, lflat = entry_pos(lpat.indices.astype(np.int64), lcol)
-    a_map = [np.stack([aflat[ac == ci],
-                       np.nonzero(ac == ci)[0]]) for ci in range(ncls)]
-    l_map = [np.stack([lflat[lc == ci],
-                       np.nonzero(lc == ci)[0]]) for ci in range(ncls)]
-    return ClassLayout(part=part, classes=classes, rptr=rptr, rows=rows,
-                       cls=cls, wpad=wpad, hpad=hpad, rowoff=rowoff,
-                       nrows=nrows, lev=lev, rlo=rlo, wrows=wrows,
-                       a_map=a_map, l_map=l_map)
+    ac, aflat = _entry_positions(lay, a.indices.astype(np.int64), acol)
+    lay.a_map = [np.stack([aflat[ac == ci],
+                           np.nonzero(ac == ci)[0]]) for ci in range(ncls)]
+    return lay

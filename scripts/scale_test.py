@@ -62,18 +62,27 @@ def main():
                              for s in plan.segments for b in s.upd)),
     }), flush=True)
 
+    segmented = any(a == "segmented=1" for a in sys.argv[4:])
     data = solver.ap.data.astype(np.float32)
     t0 = time.perf_counter()
-    solver.lx = jax.block_until_ready(
-        solver.executor.factorize_loop(data, iters))
+    if segmented:
+        solver.lx = jax.block_until_ready(
+            solver.executor.factorize_segmented(data))
+    else:
+        solver.lx = jax.block_until_ready(
+            solver.executor.factorize_loop(data, iters))
     t_compile = time.perf_counter() - t0
     print(f"compile+first: {t_compile:.1f}s", flush=True)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        lx = solver.executor.factorize_loop(data, iters)
+        if segmented:
+            lx = solver.executor.factorize_segmented(data)
+        else:
+            lx = solver.executor.factorize_loop(data, iters)
         jax.block_until_ready(lx)
-        times.append((time.perf_counter() - t0) / iters)
+        times.append((time.perf_counter() - t0)
+                     / (1 if segmented else iters))
     med = sorted(times)[1]
     res = solver.factor_residual()
     ref_s = plan.flops * 2.429e-10 / 2.0 / 4

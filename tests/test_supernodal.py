@@ -132,6 +132,18 @@ def test_supernodal_float32_parsy_tolerance():
     assert s.factor_residual() < 1e-3
 
 
+def test_factorize_segmented_matches_monolithic():
+    """Per-segment dispatch (the bounded-compile path for n >= ~2.5e5)
+    must produce bit-identical pools to the monolithic program."""
+    a = generate.SUITE["apache_small"]()
+    s = CholeskySolver(a, SolverConfig(dtype="float32",
+                                       tier="supernodal"))
+    p1 = s.executor.factorize(s.ap.data)
+    p2 = s.executor.factorize_segmented(s.ap.data)
+    for x, y in zip(p1, p2):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_supernodal_matches_simplicial():
     a = generate.SUITE["ecology_small"]()
     s1 = CholeskySolver(a, SolverConfig(dtype="float64",
