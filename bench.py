@@ -67,7 +67,10 @@ def main() -> None:
                                             tier="supernodal"))
     analyze_s = time.perf_counter() - t0
 
-    data = solver.ap.data.astype(np.float32)
+    # device-resident A values: uploaded once (the tunnel moves ~6 MB/s,
+    # so a per-iteration host upload would dominate the timed loop)
+    data = jax.device_put(solver.ap.data.astype(np.float32))
+    jax.block_until_ready(data)
 
     # Timed phase: _ITERS full factorizations, 3 rounds, median
     # per-iteration time.  Execution is per-segment programs

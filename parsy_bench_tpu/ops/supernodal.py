@@ -318,28 +318,34 @@ class SupernodalExecutor:
         return self._factorize(jnp.asarray(a_data), self._flat_rep,
                                self._flat_upd)
 
-    def factorize_segmented(self, a_data):
-        """Numeric factorization with one device program PER SEGMENT
-        instead of one monolithic program.  At n >= ~2.5e5 the monolithic
-        factorize exceeds the remote compiler's memory (hundreds of
-        buckets inlined); per-segment programs compile in bounded memory
-        and the extra per-segment dispatch (~0.1 ms each) is noise next
-        to the numeric time at that scale."""
-        if not hasattr(self, "_seg_fns"):
-            def make(si, seg):
+    def factorize_segmented(self, a_data, group: int = 8):
+        """Numeric factorization split into one device program per
+        ``group`` consecutive segments instead of one monolithic program.
+        The monolithic factorize exceeds the remote compiler's memory at
+        scale (hundreds of buckets inlined); grouped programs compile in
+        bounded memory, and grouping keeps the per-dispatch tunnel
+        overhead (~5 ms each) amortized."""
+        key = ("_grp_fns", group)
+        if getattr(self, "_grp_key", None) != key:
+            nseg = len(self.plan.segments)
+            def make(lo, hi):
                 def run(pools, fr, fu):
-                    upd_xs, fin_xs, rlo = self._unpack(fr, fu)[si]
-                    def step(pools, xs, seg=seg):
-                        u, f, rlo_t = xs
-                        return self._step(list(pools), seg, u, f,
-                                          rlo_t), None
-                    return jax.lax.scan(step, list(pools),
-                                        (upd_xs, fin_xs, rlo))[0]
+                    seg_xs = self._unpack(fr, fu)
+                    pools = list(pools)
+                    for si in range(lo, hi):
+                        seg = self.plan.segments[si]
+                        def step(pools, xs, seg=seg):
+                            u, f, rlo_t = xs
+                            return self._step(list(pools), seg, u, f,
+                                              rlo_t), None
+                        pools = jax.lax.scan(step, pools, seg_xs[si])[0]
+                    return pools
                 return jax.jit(run)
-            self._seg_fns = [make(si, seg) for si, seg
-                             in enumerate(self.plan.segments)]
+            self._grp_fns = [make(lo, min(lo + group, nseg))
+                             for lo in range(0, nseg, group)]
+            self._grp_key = key
         pools = tuple(jax.jit(self._init_pools)(jnp.asarray(a_data)))
-        for fn in self._seg_fns:
+        for fn in self._grp_fns:
             pools = tuple(fn(pools, self._flat_rep, self._flat_upd))
         return pools
 

@@ -63,7 +63,8 @@ def main():
     }), flush=True)
 
     segmented = any(a == "segmented=1" for a in sys.argv[4:])
-    data = solver.ap.data.astype(np.float32)
+    data = jax.device_put(solver.ap.data.astype(np.float32))
+    jax.block_until_ready(data)
     t0 = time.perf_counter()
     if segmented:
         solver.lx = jax.block_until_ready(
