@@ -81,14 +81,23 @@ def main() -> None:
     # (choleskyTest01.cpp:199-277) is the same analyze-once/factor-many
     # protocol.
     t0 = time.perf_counter()
-    solver.lx = jax.block_until_ready(
-        solver.executor.factorize_segmented(data))
+    try:
+        # larger groups = fewer per-iteration dispatches (the tunnel's
+        # per-dispatch latency jitters by tens of ms); fall back to
+        # smaller groups if the compile helper runs out of memory
+        group = 16
+        solver.lx = jax.block_until_ready(
+            solver.executor.factorize_segmented(data, group=group))
+    except Exception:
+        group = 8
+        solver.lx = jax.block_until_ready(
+            solver.executor.factorize_segmented(data, group=group))
     compile_s = time.perf_counter() - t0
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         for _i in range(_ITERS):
-            lx = solver.executor.factorize_segmented(data)
+            lx = solver.executor.factorize_segmented(data, group=group)
         jax.block_until_ready(lx)
         times.append((time.perf_counter() - t0) / _ITERS)
     median = sorted(times)[len(times) // 2]
