@@ -10,20 +10,27 @@ matrices of n = 36k-1.5M (scripts/dlMat.sh), so this sits at its lower
 third; ordering is the framework's coordinate-free nested dissection (the
 reference's default is METIS node-ND, LSparsity.h:534).
 
-Baseline: the reference publishes no numbers (BASELINE.md), but pins a
-machine-calibrated kernel-time model (performanceModel.h:26-88, GEMM
-t = 2.429e-10 * ijk s => ~8.2 GFLOP/s per core) and a 4-thread evaluation
-protocol (scripts/eval.sh).  ``vs_baseline`` is the ratio of that modeled
-4-thread ParSy time for the same factorization flops to our measured
-median time (>1 = faster than the calibrated reference machine).
+Baselines (the reference publishes no numbers, BASELINE.md):
+* factorize ``vs_baseline``: the reference's machine-calibrated kernel
+  time model (performanceModel.h:26-88, GEMM t = 2.429e-10 * ijk s) run
+  at its 4-thread eval protocol (scripts/eval.sh) over the same true
+  factorization flops, divided by our measured median time.
+* trisolve ``trisolve_vs_baseline``: scipy's compiled sparse triangular
+  solve (the strongest trsv actually present in this stack — the
+  libExample/ MKL trsv role, triangular_MKL_Chol.cpp:225) measured on
+  the same factor, divided by our median.  The reference's calibrated
+  TRSV/GEMV model replayed over our supernode partition at 4 threads is
+  also reported as ``trisolve_vs_ref_model``.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...};
-extra keys carry the trisolve metric (BASELINE.md lists both headline
-numbers) and the correctness gates.
+extra keys carry the trisolve metrics, the correctness gates, and the
+min/median/max spread of the timed rounds (a result that varies
+run-to-run through the tunnel must say so).
 """
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -45,6 +52,34 @@ def _warm_scatter() -> None:
     idx = jnp.arange(8)
     jax.block_until_ready(
         jax.jit(lambda v: v.at[idx].add(v[idx]))(jnp.ones(16)))
+
+
+def _ref_trisolve_model_s(plan) -> float:
+    """Reference calibrated blocked-trisolve time for our partition:
+    per supernode one dense TRSV on the w-wide diag block plus one GEMV
+    on the (h-w, w) off-diag block (performanceModel.h:26-88 PERF_TRSV /
+    PERF_GEMV), at the 4-thread eval protocol."""
+    lay = plan.layout
+    w = np.diff(lay.part.sptr).astype(np.float64)
+    h = np.diff(lay.rptr).astype(np.float64)
+    hw = np.maximum(h - w, 0.0)
+    trsv = 3.224536e-10 * w * w + 1.709178e-08 * w + 1.947268e-07
+    gemv = (6.192657e-10 * hw * w - 2.884799e-09 * hw
+            + 7.594831e-10 * w + 3.575035e-07)
+    return float(np.sum(trsv + np.maximum(gemv, 0.0))) / _REF_THREADS
+
+
+def _scipy_trsv_s(lmat, b, iters: int = 3) -> float:
+    """Measured scipy compiled triangular solve on the same factor."""
+    import scipy.sparse.linalg as spla
+    lcsr = lmat.tocsr()
+    spla.spsolve_triangular(lcsr, b, lower=True)  # warm
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        spla.spsolve_triangular(lcsr, b, lower=True)
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
 
 
 def main() -> None:
@@ -72,24 +107,27 @@ def main() -> None:
     data = jax.device_put(solver.ap.data.astype(np.float32))
     jax.block_until_ready(data)
 
-    # Timed phase: _ITERS full factorizations, 3 rounds, median
-    # per-iteration time.  Execution is per-segment programs
-    # (factorize_segmented): the monolithic whole-factorization program
-    # exceeds the remote compile helper's memory at this scale, and the
-    # per-segment dispatch overhead (~0.1 ms x ~30 segments) is <1% of
-    # the numeric time being measured.  The reference's timed loop
-    # (choleskyTest01.cpp:199-277) is the same analyze-once/factor-many
-    # protocol.
+    # Timed phase: _ITERS full factorizations per round, several rounds,
+    # median per-iteration time; min/median/max reported so tunnel
+    # dispatch jitter is visible.  Execution is grouped multi-segment
+    # programs (factorize_segmented): the monolithic whole-factorization
+    # program exceeds the remote compile helper's memory at this scale.
+    # The reference's timed loop (choleskyTest01.cpp:199-277) is the same
+    # analyze-once/factor-many protocol.
     t0 = time.perf_counter()
+    group = 16
     try:
-        # larger groups = fewer per-iteration dispatches (the tunnel's
-        # per-dispatch latency jitters by tens of ms); fall back to
-        # smaller groups if the compile helper runs out of memory
-        group = 16
         solver.lx = jax.block_until_ready(
             solver.executor.factorize_segmented(data, group=group))
-    except Exception:
+    except jax.errors.JaxRuntimeError as e:
+        # the remote compile helper OOM/SIGKILLs on too-large programs;
+        # anything else (shape bugs, NaN asserts) must fail the bench
+        # loudly rather than be silently remeasured at a smaller group
+        print(f"group=16 compile failed ({type(e).__name__}: "
+              f"{str(e)[:300]}); falling back to group=8",
+              file=sys.stderr)
         group = 8
+        t0 = time.perf_counter()  # timer restarts: only the good compile
         solver.lx = jax.block_until_ready(
             solver.executor.factorize_segmented(data, group=group))
     compile_s = time.perf_counter() - t0
@@ -117,6 +155,8 @@ def main() -> None:
         stimes.append((time.perf_counter() - t0) / _ITERS)
     smedian = sorted(stimes)[len(stimes) // 2]
     nnzl = int(solver.lpat.nnz)
+    scipy_trsv = _scipy_trsv_s(lmat, b)
+    ref_model_trsv = _ref_trisolve_model_s(solver.plan)
 
     # correctness gates: a fast-but-wrong run must not score.
     # Factor: Frobenius residual vs reference bar 1e-3
@@ -142,10 +182,15 @@ def main() -> None:
         "vs_baseline": round(ref_time / median, 4),
         "n": int(a.n),
         "factor_residual": float(f"{residual:.3e}"),
+        "factorize_s_min_med_max": [round(min(times), 4), round(median, 4),
+                                    round(max(times), 4)],
         "trisolve_gnnz_per_s": round(nnzl / smedian / 1e9, 4),
+        "trisolve_vs_baseline": round(scipy_trsv / smedian, 4),
+        "trisolve_vs_ref_model": round(ref_model_trsv / smedian, 4),
         "trisolve_residual": float(f"{solve_err:.3e}"),
         "analyze_s": round(analyze_s, 1),
         "compile_s": round(compile_s, 1),
+        "group": group,
     }))
 
 

@@ -85,8 +85,17 @@ def write_ordering(path: str, perm: np.ndarray) -> None:
 # of a solve — serialize it once per sparsity pattern.
 # --------------------------------------------------------------------------
 
+#: Bump whenever the pickled plan/layout schema changes shape (e.g. the
+#: round-3 ClassLayout lpat/nnz_l additions): loading an artifact written
+#: under another version fails with a clear re-analyze message instead of
+#: an opaque attribute error deep inside the executor.
+ARTIFACT_FORMAT = 2
+
+
 def save_artifact(path: str, obj, meta: Optional[dict] = None) -> None:
-    payload = {"meta": meta or {}, "obj": obj}
+    meta = dict(meta or {})
+    meta.setdefault("format", ARTIFACT_FORMAT)
+    payload = {"meta": meta, "obj": obj}
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
@@ -96,4 +105,10 @@ def save_artifact(path: str, obj, meta: Optional[dict] = None) -> None:
 def load_artifact(path: str):
     with open(path, "rb") as f:
         payload = pickle.load(f)
+    fmt = payload["meta"].get("format", 0)
+    if fmt != ARTIFACT_FORMAT:
+        raise ValueError(
+            f"analysis artifact {path!r} has format {fmt}, this build reads "
+            f"format {ARTIFACT_FORMAT} — re-run the analysis "
+            f"(CholeskySolver(...).save_analysis) to regenerate it")
     return payload["obj"], payload["meta"]

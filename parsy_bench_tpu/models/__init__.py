@@ -1,3 +1,5 @@
-from parsy_bench_tpu.models.solver import CholeskySolver, TriangularSolver
+from parsy_bench_tpu.models.solver import (CholeskySolver,
+                                           NotPositiveDefiniteError,
+                                           TriangularSolver)
 
-__all__ = ["CholeskySolver", "TriangularSolver"]
+__all__ = ["CholeskySolver", "NotPositiveDefiniteError", "TriangularSolver"]

@@ -20,6 +20,16 @@ from parsy_bench_tpu.symbolic.plan import (cholesky_plan, plan_from_pattern,
                                            trisolve_plan)
 
 
+class NotPositiveDefiniteError(RuntimeError):
+    """The numeric factorization hit a non-positive pivot.
+
+    The reference treats dpotrf info != 0 as a first-class abort
+    (parallel_PB_Cholesky_05.h:206-207, sereial_Cholesky_01.h:46-47); in
+    the functional executors a failed pivot surfaces as NaN in the panel
+    pools, detected by one device-side isfinite reduction after
+    ``factorize``."""
+
+
 class CholeskySolver:
     """Sparse SPD solver: A x = b via L L^T with fill-reducing ordering.
 
@@ -89,12 +99,23 @@ class CholeskySolver:
         self._inv[self.perm] = np.arange(a.n)
 
     # ------------------------------------------------------------ numeric
-    def factorize(self, a: CSC | None = None) -> "CholeskySolver":
+    def factorize(self, a: CSC | None = None,
+                  check_spd: bool = True) -> "CholeskySolver":
         """Numeric factorization; ``a`` may carry new values on the same
         pattern (the inspector is reused, reference contract of analyze_p2
-        once / factor many, choleskyTest01.cpp:199-277)."""
+        once / factor many, choleskyTest01.cpp:199-277).
+
+        ``check_spd`` (default): raise :class:`NotPositiveDefiniteError`
+        when the factorization encountered a non-positive pivot — the
+        dpotrf info != 0 abort of the reference executor
+        (parallel_PB_Cholesky_05.h:206-207).  One device-side reduction;
+        pass False on hot re-factorization loops that gate elsewhere."""
         data = self.ap.data if a is None else a.permute(self.perm).data
         self.lx = self.executor.factorize(data)
+        if check_spd and not self.factor_ok():
+            raise NotPositiveDefiniteError(
+                "matrix is not positive definite (non-positive pivot "
+                "during numeric factorization)")
         return self
 
     def solve(self, b: np.ndarray) -> np.ndarray:
@@ -140,10 +161,13 @@ class CholeskySolver:
     def factor_ok(self) -> bool:
         """SPD failure detection: the reference aborts when dpotrf reports
         a non-positive pivot (parallel_PB_Cholesky_05.h:206-207); here a
-        failed pivot surfaces as NaN in the factor values."""
+        failed pivot surfaces as NaN in the factor pools, detected with
+        one on-device isfinite reduction (no host transfer of L)."""
         if self.lx is None:
             raise RuntimeError("call factorize() first")
-        return bool(np.all(np.isfinite(self._l_values())))
+        import jax.numpy as jnp
+        parts = self.lx if isinstance(self.lx, tuple) else (self.lx,)
+        return all(bool(jnp.all(jnp.isfinite(p))) for p in parts)
 
     def factor_csc(self) -> CSC:
         """The numeric factor L (permuted ordering) as a host CSC."""
@@ -233,7 +257,7 @@ class TriangularSolver:
             # prepare_solve_pools stores the diag-block inverses the
             # solves read from the strict upper triangles
             self._lx = self.executor.prepare_solve_pools(
-                jax.jit(self.executor._init_pools)(jnp.asarray(l.data)))
+                self.executor._init_pools_j(jnp.asarray(l.data)))
         else:
             from parsy_bench_tpu.symbolic.plan import dag_levels
             import scipy.sparse as sp
@@ -329,7 +353,7 @@ class PrunedBlockedTriangularSolve:
         self.executor = SupernodalExecutor(self.plan,
                                            dtype=self.config.dtype)
         self._lx = self.executor.prepare_solve_pools(
-            jax.jit(self.executor._init_pools)(jnp.asarray(lsub.data)))
+            self.executor._init_pools_j(jnp.asarray(lsub.data)))
 
     def solve(self, b: np.ndarray) -> np.ndarray:
         """x = L^{-1} b where b is nonzero only on the RHS pattern; work

@@ -125,4 +125,12 @@ def load() -> NativeLib:
              _SRC, "-o", tmp],
             check=True, capture_output=True)
         os.replace(tmp, so)
+        # stale builds of older source revisions are dead weight
+        for f in os.listdir(_BUILD):
+            p = os.path.join(_BUILD, f)
+            if f.startswith("libpbt_") and p != so:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
     return NativeLib(ctypes.CDLL(so))

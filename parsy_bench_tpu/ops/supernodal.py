@@ -107,6 +107,9 @@ class SupernodalExecutor:
             np.concatenate(upd_pieces, axis=1) if upd_pieces
             else np.zeros((G, 0), dtype=np.int32))
         self._factorize = jax.jit(self._factorize_impl)
+        # jitted once here: a fresh jax.jit(self._init_pools) per call would
+        # retrace every time (bound-method identity differs per access)
+        self._init_pools_j = jax.jit(self._init_pools)
         self._factorize_loop = None
         self._solve_lower = jax.jit(self._solve_lower_impl)
         self._solve_upper = jax.jit(self._solve_upper_impl)
@@ -340,11 +343,14 @@ class SupernodalExecutor:
                                               rlo_t), None
                         pools = jax.lax.scan(step, pools, seg_xs[si])[0]
                     return pools
-                return jax.jit(run)
+                # donate the incoming pools: each group program rewrites
+                # them in place (buffer reuse halves peak HBM across the
+                # group chain)
+                return jax.jit(run, donate_argnums=0)
             self._grp_fns = [make(lo, min(lo + group, nseg))
                              for lo in range(0, nseg, group)]
             self._grp_key = key
-        pools = tuple(jax.jit(self._init_pools)(jnp.asarray(a_data)))
+        pools = tuple(self._init_pools_j(jnp.asarray(a_data)))
         for fn in self._grp_fns:
             pools = tuple(fn(pools, self._flat_rep, self._flat_upd))
         return pools
@@ -612,7 +618,7 @@ class SupernodalExecutor:
         amortized to noise; reported ``median_s`` is per single run."""
         import time
         pools = jax.block_until_ready(
-            jax.jit(self._init_pools)(jnp.asarray(a_data)))
+            self._init_pools_j(jnp.asarray(a_data)))
         out = []
         for i, seg in enumerate(self.plan.segments):
             def run_once(pools, fr, fu, i=i, seg=seg):

@@ -155,3 +155,24 @@ def test_pruned_blocked_solve_matches_simplicial():
     assert len(ps.cols) < l.n // 2
     x = ps.solve(b)
     assert np.max(np.abs(x - ref)) < 1e-9
+
+
+@pytest.mark.parametrize("tier", ["simplicial", "supernodal"])
+def test_indefinite_matrix_raises(tier):
+    """Non-SPD inputs must abort like the reference's dpotrf info != 0
+    check (parallel_PB_Cholesky_05.h:206-207): factorize(check_spd=True,
+    the default) raises NotPositiveDefiniteError at both tiers."""
+    from parsy_bench_tpu.models import NotPositiveDefiniteError
+    a = generate.SUITE["bcsstk14ish"]()
+    # flip one interior diagonal entry far negative -> indefinite
+    m = a.symmetrize_from_lower().to_scipy().tolil()
+    m[50, 50] = -abs(m[50, 50]) - 1.0
+    bad = CSC.from_scipy(sp.tril(m.tocsc(), 0).tocsc())
+    s = CholeskySolver(bad, SolverConfig(dtype="float64", tier=tier))
+    with pytest.raises(NotPositiveDefiniteError):
+        s.factorize()
+    assert not s.factor_ok()
+    # the same solver still accepts the SPD original on the same pattern
+    s2 = CholeskySolver(a, SolverConfig(dtype="float64", tier=tier))
+    s2.factorize()
+    assert s2.factor_ok()
