@@ -154,7 +154,7 @@ def main() -> None:
             solver.executor.solve_loop(solver.lx, b, _ITERS))
         stimes.append((time.perf_counter() - t0) / _ITERS)
     smedian = sorted(stimes)[len(stimes) // 2]
-    nnzl = int(solver.lpat.nnz)
+    nnzl = int(solver.cc.sum())   # nnz(L) without materializing the pattern
     scipy_trsv = _scipy_trsv_s(lmat, b)
     ref_model_trsv = _ref_trisolve_model_s(solver.plan)
 

@@ -53,6 +53,10 @@ class SolverConfig:
     #: every bucket to the running lane maxima would exceed this multiple
     #: of the true work (ops/simplicial.py segment_levels).
     segment_alpha: float = 1.25
+    #: slack-based level placement: delay supernodes below their update
+    #: targets to flatten per-bucket lane histograms (fewer padded lanes;
+    #: reference slack freedom, InspectionLevel_06.h:118-132).
+    slack_placement: bool = True
     #: general-DAG trisolve schedule: "wavefront" (one batched step per
     #: level, H1), "coarsened" (dense W-column window steps, the DAG-LBC
     #: replacement — symbolic/dagplan.py), or "auto" (cost-model pick).

@@ -89,7 +89,7 @@ def write_ordering(path: str, perm: np.ndarray) -> None:
 #: round-3 ClassLayout lpat/nnz_l additions): loading an artifact written
 #: under another version fails with a clear re-analyze message instead of
 #: an opaque attribute error deep inside the executor.
-ARTIFACT_FORMAT = 2
+ARTIFACT_FORMAT = 3
 
 
 def save_artifact(path: str, obj, meta: Optional[dict] = None) -> None:

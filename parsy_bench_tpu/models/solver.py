@@ -70,14 +70,18 @@ class CholeskySolver:
         self.parent = etree(self.ap)
         self.cc = col_counts(self.ap, self.parent)
         _mark("etree_s")
-        self.lpat = symbolic_pattern(self.ap, self.parent)
-        _mark("pattern_s")
+        # the simplicial pattern is LAZY for the supernodal tier: the
+        # layout's row patterns come from the native etree walk and only
+        # verification paths (factor_residual / factor_csc) materialize
+        # nnz(L) indices — the reference analyze likewise never stores a
+        # simplicial pattern on its supernodal path (LSparsity.h:256)
+        self._lpat = None
 
         if self.config.tier == "supernodal":
             from parsy_bench_tpu.ops.supernodal import SupernodalExecutor
             from parsy_bench_tpu.symbolic.splan import build_supernodal_plan
             self.plan = build_supernodal_plan(
-                self.ap, self.parent, self.cc, self.lpat, self.config)
+                self.ap, self.parent, self.cc, None, self.config)
             _mark("plan_s")
             if self.config.verify:
                 from parsy_bench_tpu.symbolic.verify import verify_plan
@@ -97,6 +101,16 @@ class CholeskySolver:
         # scatter helpers: x[perm[r]] = xp[r]
         self._inv = np.empty(a.n, dtype=np.int64)
         self._inv[self.perm] = np.arange(a.n)
+
+    @property
+    def lpat(self):
+        """Simplicial L pattern (csc), materialized on first use."""
+        if self._lpat is None:
+            import time as _time
+            t0 = _time.perf_counter()
+            self._lpat = symbolic_pattern(self.ap, self.parent)
+            self.timings["pattern_s"] = round(_time.perf_counter() - t0, 3)
+        return self._lpat
 
     # ------------------------------------------------------------ numeric
     def factorize(self, a: CSC | None = None,
@@ -180,8 +194,10 @@ class CholeskySolver:
         checkpointable symbolic artifact (SURVEY §5.4; the reference's
         cacheable-ordering contract, common/Util.h:187)."""
         from parsy_bench_tpu.core.io import save_artifact
+        # _lpat may be None (lazy): the artifact stays lean and the
+        # pattern is recomputed on demand after a restore
         save_artifact(path, {"perm": self.perm, "plan": self.plan,
-                             "lpat": self.lpat, "parent": self.parent,
+                             "lpat": self._lpat, "parent": self.parent,
                              "cc": self.cc},
                       meta={"n": self.a.n, "nnz": self.a.nnz,
                             "tier": self.config.tier})
@@ -213,7 +229,8 @@ class CholeskySolver:
         self.ap = self.a.permute(self.perm)
         self.parent = obj["parent"]
         self.cc = obj["cc"]
-        self.lpat = obj["lpat"]
+        self._lpat = obj["lpat"]
+        self.timings = {}
         self.plan = obj["plan"]
         if self.config.tier == "supernodal":
             from parsy_bench_tpu.ops.supernodal import SupernodalExecutor

@@ -20,6 +20,7 @@ _BUILD = os.path.join(_HERE, "_build")
 _I32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _I64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _F64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_U8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 _c64 = ctypes.c_int64
 
 
@@ -40,6 +41,11 @@ class NativeLib:
         dll.pbt_cholesky_updates.argtypes = [_c64, _I64, _I32, _I32, _I32,
                                              _I32]
         dll.pbt_amd_order.argtypes = [_c64, _I64, _I32, _I32]
+        dll.pbt_relaxed_amalgamation.argtypes = [
+            _c64, _I64, _I32, _I64, _I64, _F64, _I64, _F64, _c64, _U8]
+        dll.pbt_nd_order.argtypes = [_c64, _I64, _I32, _c64, _I32]
+        dll.pbt_supernodal_rows.argtypes = [_c64, _I64, _I32, _I32, _I32,
+                                            _c64, _I64, _I32, _c64]
 
     def etree(self, n, indptr, indices):
         parent = np.empty(n, dtype=np.int32)
@@ -98,6 +104,54 @@ class NativeLib:
             n, np.ascontiguousarray(m.indptr, np.int64),
             np.ascontiguousarray(m.indices, np.int32), perm)
         return perm
+
+    def supernodal_rows(self, atp, ati, parent, col2sup, nsuper):
+        """(rptr, rows) supernodal row patterns from the etree row walk
+        (spec: symbolic/supernodes.py::supernodal_rows — same output
+        contract, computed without the simplicial pattern)."""
+        n = len(atp) - 1
+        atp = np.ascontiguousarray(atp, np.int64)
+        ati = np.ascontiguousarray(ati, np.int32)
+        parent = np.ascontiguousarray(parent, np.int32)
+        col2sup = np.ascontiguousarray(col2sup, np.int32)
+        rptr = np.empty(nsuper + 1, dtype=np.int64)
+        self._dll.pbt_supernodal_rows(n, atp, ati, parent, col2sup,
+                                      nsuper, rptr,
+                                      np.empty(0, dtype=np.int32), 0)
+        rows = np.empty(int(rptr[-1]), dtype=np.int32)
+        cursors = rptr[:-1].copy()
+        full = np.concatenate([cursors, rptr[-1:]])
+        self._dll.pbt_supernodal_rows(n, atp, ati, parent, col2sup,
+                                      nsuper, full, rows, 1)
+        return rptr, rows
+
+    def nd_order(self, full, leaf_size: int = 48) -> np.ndarray:
+        """Coordinate-free nested dissection over the full symmetric
+        pattern (CSR); returns perm[new] = old (spec:
+        symbolic/ordering.py::_graph_nd — same algorithm, native
+        tie-breaks may differ; quality-tested, not bit-equal)."""
+        m = full.tocsr()
+        n = m.shape[0]
+        perm = np.empty(n, dtype=np.int32)
+        self._dll.pbt_nd_order(
+            n, np.ascontiguousarray(m.indptr, np.int64),
+            np.ascontiguousarray(m.indices, np.int32), int(leaf_size), perm)
+        return perm
+
+    def relaxed_amalgamation(self, sptr, sparent, width, nrows, zeros,
+                             nrelax, zrelax, max_width):
+        """Union-find merge pass; mutates sptr/width/nrows/zeros scratch
+        arrays, returns the surviving-root mask (spec:
+        symbolic/supernodes.py::relaxed_amalgamation)."""
+        nsuper = len(sparent)
+        is_root = np.empty(nsuper, dtype=np.uint8)
+        self._dll.pbt_relaxed_amalgamation(
+            nsuper, sptr, np.ascontiguousarray(sparent, np.int32),
+            width, nrows, zeros,
+            np.ascontiguousarray(nrelax, np.int64),
+            np.ascontiguousarray(zrelax, np.float64),
+            int(max_width), is_root)
+        return is_root.astype(bool)
 
     def cholesky_updates(self, lptr, lind, total):
         n = len(lptr) - 1

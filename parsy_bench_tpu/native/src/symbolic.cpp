@@ -187,6 +187,318 @@ void pbt_cholesky_updates(int64_t n, const int64_t* lptr, const int32_t* lind,
   }
 }
 
+// Relaxed supernode amalgamation: bottom-up union-find merge of child
+// supernodes into parents under the CHOLMOD explicit-zero thresholds.
+// Inputs width/nrows/zeros are per-fundamental-supernode state (computed
+// vectorized on the Python side); sptr is a scratch copy, mutated exactly
+// like the NumPy specification; is_root[s] = 1 iff s survives as a merge
+// root.  (spec: symbolic/supernodes.py::relaxed_amalgamation; reference:
+// cholesky/Inspection_BlockC.h:370-483, criterion :466-469)
+void pbt_relaxed_amalgamation(
+    int64_t nsuper, int64_t* sptr, const int32_t* sparent, int64_t* width,
+    int64_t* nrows, double* zeros, const int64_t* nrelax,
+    const double* zrelax, int64_t max_width, uint8_t* is_root) {
+  std::vector<int64_t> merged_into(nsuper);
+  for (int64_t s = 0; s < nsuper; ++s) merged_into[s] = s;
+  auto find = [&](int64_t s) {
+    while (merged_into[s] != s) {
+      merged_into[s] = merged_into[merged_into[s]];
+      s = merged_into[s];
+    }
+    return s;
+  };
+  for (int64_t s = 0; s + 1 < nsuper; ++s) {
+    int32_t p = sparent[s];
+    if (p < 0) continue;
+    int64_t rs = find(s), rp = find(p);
+    if (rs == rp) continue;
+    if (sptr[rs + 1] != sptr[rp]) continue;  // columns not adjacent
+    int64_t w = width[rs] + width[rp];
+    if (w > max_width) continue;
+    int64_t nr = nrows[rs] > width[rs] + nrows[rp]
+                     ? nrows[rs] : width[rs] + nrows[rp];
+    double total = (double)nr * (double)w - (double)(w * (w - 1)) / 2.0;
+    double filled =
+        ((double)nrows[rs] * (double)width[rs]
+         - (double)(width[rs] * (width[rs] - 1)) / 2.0 - zeros[rs]) +
+        ((double)nrows[rp] * (double)width[rp]
+         - (double)(width[rp] * (width[rp] - 1)) / 2.0 - zeros[rp]);
+    double z = 1.0 - filled / (total > 1.0 ? total : 1.0);
+    bool ok = (w <= nrelax[0]) || (w <= nrelax[1] && z <= zrelax[0]) ||
+              (w <= nrelax[2] && z <= zrelax[1]) || (z <= zrelax[2]);
+    if (!ok) continue;
+    merged_into[rp] = rs;
+    int64_t send = sptr[rp + 1];
+    width[rs] = w;
+    nrows[rs] = nr;
+    zeros[rs] = total - filled;
+    sptr[rs + 1] = send;
+  }
+  for (int64_t s = 0; s < nsuper; ++s) is_root[s] = (find(s) == s);
+}
+
+// Supernodal row patterns directly from A + etree + supernode partition
+// (no simplicial pattern materialization): for every row i, walk each
+// below-diagonal entry's column up the elimination tree, emitting row i
+// into every supernode encountered (column-stamped so the walk is
+// O(nnz(L)) total; supernode-stamped so each (s, i) emits once).  This
+// is the reference's row-subtree construction of Ls
+// (cholesky/Inspection_BlockC.h:684-752 subtree()) fused with the
+// supernode mapping.  Two passes: pass 0 counts into rptr[s+1],
+// pass 1 fills rows using rptr as cursors (caller restores rptr).
+// (atp, ati) is the row view of lower(A): column i holds entries j <= i
+// of row i (the same CSC-of-upper structure pbt_etree consumes.)
+void pbt_supernodal_rows(int64_t n, const int64_t* atp, const int32_t* ati,
+                         const int32_t* parent, const int32_t* col2sup,
+                         int64_t nsuper, int64_t* rptr, int32_t* rows,
+                         int64_t pass) {
+  std::vector<int32_t> cmark(n, -1), smark(nsuper, -1);
+  if (pass == 0)
+    for (int64_t s = 0; s <= nsuper; ++s) rptr[s] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t si = col2sup[i];
+    smark[si] = (int32_t)i;  // diag: row i belongs to its own supernode
+    if (pass == 0) ++rptr[si + 1];
+    else rows[rptr[si]++] = (int32_t)i;
+    for (int64_t p = atp[i]; p < atp[i + 1]; ++p) {
+      int32_t j = ati[p];
+      while (j != -1 && j < i && cmark[j] != (int32_t)i) {
+        cmark[j] = (int32_t)i;
+        int32_t s = col2sup[j];
+        if (smark[s] != (int32_t)i) {
+          smark[s] = (int32_t)i;
+          if (pass == 0) ++rptr[s + 1];
+          else rows[rptr[s]++] = (int32_t)i;
+        }
+        j = parent[j];
+      }
+    }
+  }
+  if (pass == 0)
+    for (int64_t s = 0; s < nsuper; ++s) rptr[s + 1] += rptr[s];
+}
+
+// Coordinate-free nested dissection (George-Liu level-structure bisection)
+// — the all-native replacement for the scipy-sliced Python driver
+// (spec: symbolic/ordering.py::_graph_nd; reference analogue: the
+// METIS_NodeND call, cholesky/LSparsity.h:534-613).  Same algorithm:
+// BFS from a pseudo-peripheral root, separator = smallest level whose
+// cumulative count lies in the middle band; leaves ordered by local RCM.
+// Input: CSR adjacency of the full symmetric pattern (diagonal allowed,
+// ignored).  Output perm[new] = old.
+namespace {
+
+struct NdScratch {
+  std::vector<int32_t> loc;    // global -> local id within current piece
+  std::vector<int32_t> lev;    // local BFS level
+  std::vector<int32_t> queue;  // BFS queue / scratch
+  std::vector<int32_t> deg;    // local degree
+};
+
+// BFS levels over the subgraph induced by nodes[0..m); lev filled with
+// -1 for unreached.  Returns the index (local) of the last-visited node
+// (a farthest node) and the level count via *nlev.
+static int32_t nd_bfs(const int64_t* ap, const int32_t* ai,
+                      const int32_t* nodes, int64_t m, int32_t root,
+                      NdScratch& S, int32_t* nlev) {
+  for (int64_t k = 0; k < m; ++k) S.lev[k] = -1;
+  S.lev[root] = 0;
+  S.queue[0] = root;
+  int64_t head = 0, tail = 1;
+  int32_t last = root, maxlev = 0;
+  while (head < tail) {
+    int32_t u = S.queue[head++];
+    int32_t g = nodes[u];
+    int32_t lu = S.lev[u];
+    for (int64_t p = ap[g]; p < ap[g + 1]; ++p) {
+      int32_t lv = S.loc[ai[p]];
+      if (lv < 0 || S.lev[lv] >= 0) continue;  // outside piece or seen
+      S.lev[lv] = lu + 1;
+      if (lu + 1 > maxlev) maxlev = lu + 1;
+      S.queue[tail++] = lv;
+      last = lv;
+    }
+  }
+  *nlev = maxlev + 1;
+  return last;
+}
+
+// Local reverse Cuthill-McKee of a (connected or not) piece: per
+// component, BFS from a far node with neighbours visited in
+// ascending-degree order; the concatenated CM order is reversed (scipy
+// reverse_cuthill_mckee semantics).  Appends the piece's nodes to out.
+// Uses S.lev as a per-node state (0 = unvisited, 2 = seen by the
+// far-node pass, 1 = emitted) so components never clobber each other.
+static void nd_rcm(const int64_t* ap, const int32_t* ai,
+                   const int32_t* nodes, int64_t m, NdScratch& S,
+                   std::vector<int32_t>& out) {
+  if (m == 1) { out.push_back(nodes[0]); return; }
+  for (int64_t k = 0; k < m; ++k) {
+    int32_t g = nodes[k];
+    int32_t d = 0;
+    for (int64_t p = ap[g]; p < ap[g + 1]; ++p)
+      if (S.loc[ai[p]] >= 0 && ai[p] != g) ++d;
+    S.deg[k] = d;
+    S.lev[k] = 0;
+  }
+  size_t base = out.size();
+  for (int64_t k0 = 0; k0 < m; ++k0) {
+    if (S.lev[k0] != 0) continue;
+    // pass 1: BFS from k0 to find a far node of this component (0 -> 2)
+    int64_t head = 0, tail = 0;
+    S.queue[tail++] = (int32_t)k0;
+    S.lev[k0] = 2;
+    int32_t far = (int32_t)k0;
+    while (head < tail) {
+      int32_t u = S.queue[head++];
+      far = u;  // last dequeued lies in the deepest level
+      int32_t g = nodes[u];
+      for (int64_t p = ap[g]; p < ap[g + 1]; ++p) {
+        int32_t lv = S.loc[ai[p]];
+        if (lv >= 0 && S.lev[lv] == 0) {
+          S.lev[lv] = 2;
+          S.queue[tail++] = lv;
+        }
+      }
+    }
+    // pass 2: CM from the far node (2 -> 1), neighbours by degree
+    head = tail = 0;
+    S.queue[tail++] = far;
+    S.lev[far] = 1;
+    while (head < tail) {
+      int32_t u = S.queue[head++];
+      out.push_back(nodes[u]);
+      int64_t first = tail;
+      int32_t g = nodes[u];
+      for (int64_t p = ap[g]; p < ap[g + 1]; ++p) {
+        int32_t lv = S.loc[ai[p]];
+        if (lv >= 0 && S.lev[lv] == 2) {
+          S.lev[lv] = 1;
+          S.queue[tail++] = lv;
+        }
+      }
+      for (int64_t a = first + 1; a < tail; ++a) {
+        int32_t v = S.queue[a];
+        int64_t b = a;
+        while (b > first && S.deg[S.queue[b - 1]] > S.deg[v]) {
+          S.queue[b] = S.queue[b - 1];
+          --b;
+        }
+        S.queue[b] = v;
+      }
+    }
+  }
+  // reverse the freshly appended range (Cuthill-McKee -> RCM)
+  for (size_t a = base, b = out.size() - 1; a < b; ++a, --b) {
+    int32_t t = out[a];
+    out[a] = out[b];
+    out[b] = t;
+  }
+}
+
+}  // namespace
+
+void pbt_nd_order(int64_t n, const int64_t* ap, const int32_t* ai,
+                  int64_t leaf_size, int32_t* perm) {
+  NdScratch S;
+  S.loc.assign(n, -1);
+  S.lev.resize(n);
+  S.queue.resize(n);
+  S.deg.resize(n);
+  // arena of node lists + an explicit stack of (offset, len, tag) frames;
+  // tag 0 = split, 1 = emit (separator, already ordered)
+  std::vector<int32_t> arena(n);
+  for (int64_t i = 0; i < n; ++i) arena[i] = (int32_t)i;
+  struct Frame { int64_t off, len; int tag; };
+  std::vector<Frame> stack;
+  std::vector<int32_t> out;
+  out.reserve(n);
+  std::vector<int32_t> scratch;  // relabel buffer
+  stack.push_back({0, n, 0});
+  while (!stack.empty()) {
+    Frame f = stack.back();
+    stack.pop_back();
+    int32_t* nodes = arena.data() + f.off;
+    int64_t m = f.len;
+    if (m == 0) continue;
+    if (f.tag == 1) {
+      for (int64_t k = 0; k < m; ++k) out.push_back(nodes[k]);
+      continue;
+    }
+    // activate piece: local ids + "unemitted" stamps
+    for (int64_t k = 0; k < m; ++k) S.loc[nodes[k]] = (int32_t)k;
+    if (m <= leaf_size) {
+      nd_rcm(ap, ai, nodes, m, S, out);
+      for (int64_t k = 0; k < m; ++k) S.loc[nodes[k]] = -1;
+      continue;
+    }
+    int32_t nlev;
+    int32_t far = nd_bfs(ap, ai, nodes, m, 0, S, &nlev);
+    // disconnected piece: peel reached component, recurse on both
+    int64_t reached = 0;
+    for (int64_t k = 0; k < m; ++k) reached += (S.lev[k] >= 0);
+    if (reached < m) {
+      scratch.resize(m);
+      int64_t a = 0, b = reached;
+      for (int64_t k = 0; k < m; ++k)
+        (S.lev[k] >= 0 ? scratch[a++] : scratch[b++]) = nodes[k];
+      for (int64_t k = 0; k < m; ++k) {
+        S.loc[nodes[k]] = -1;
+        nodes[k] = scratch[k];
+      }
+      stack.push_back({f.off + reached, m - reached, 0});
+      stack.push_back({f.off, reached, 0});
+      continue;
+    }
+    nd_bfs(ap, ai, nodes, m, far, S, &nlev);
+    if (nlev <= 2) {  // clique-ish: no useful level separator
+      nd_rcm(ap, ai, nodes, m, S, out);
+      for (int64_t k = 0; k < m; ++k) S.loc[nodes[k]] = -1;
+      continue;
+    }
+    // level sizes and the middle band [searchsorted(.25m), .75m]
+    std::vector<int64_t> sizes(nlev, 0);
+    for (int64_t k = 0; k < m; ++k) ++sizes[S.lev[k]];
+    int64_t lo = 0, hi = 0, cum = 0;
+    {
+      std::vector<int64_t> cums(nlev);
+      for (int32_t l = 0; l < nlev; ++l) { cum += sizes[l]; cums[l] = cum; }
+      // np.searchsorted(cum, q) semantics: first index with cum >= q
+      double q1 = 0.25 * (double)m, q3 = 0.75 * (double)m;
+      while (lo < nlev && (double)cums[lo] < q1) ++lo;
+      while (hi < nlev && (double)cums[hi] < q3) ++hi;
+      if (lo < 1) lo = 1;
+      if (lo > nlev - 2) lo = nlev - 2;
+      if (hi < lo) hi = lo;
+      if (hi > nlev - 2) hi = nlev - 2;
+    }
+    int32_t cut = (int32_t)lo;
+    for (int64_t l = lo; l <= hi; ++l)
+      if (sizes[l] < sizes[cut]) cut = (int32_t)l;
+    // partition arena range into left | right | sep (stable)
+    scratch.resize(m);
+    int64_t nl = 0, nr = 0, ns = 0;
+    for (int64_t k = 0; k < m; ++k) nl += (S.lev[k] < cut);
+    for (int64_t k = 0; k < m; ++k) nr += (S.lev[k] > cut);
+    int64_t a = 0, b = nl, c = nl + nr;
+    for (int64_t k = 0; k < m; ++k) {
+      if (S.lev[k] < cut) scratch[a++] = nodes[k];
+      else if (S.lev[k] > cut) scratch[b++] = nodes[k];
+      else scratch[c++] = nodes[k];
+    }
+    ns = m - nl - nr;
+    for (int64_t k = 0; k < m; ++k) {
+      S.loc[nodes[k]] = -1;
+      nodes[k] = scratch[k];
+    }
+    // pop order: left, right, then separator emission
+    stack.push_back({f.off + nl + nr, ns, 1});
+    if (nr) stack.push_back({f.off + nl, nr, 0});
+    if (nl) stack.push_back({f.off, nl, 0});
+  }
+  for (int64_t i = 0; i < n; ++i) perm[i] = out[i];
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -97,12 +97,12 @@ def postorder(parent: np.ndarray, weights: np.ndarray | None = None) -> np.ndarr
     childptr, children, roots = tree_children(parent)
     if weights is not None:
         w = subtree_accumulate(parent, np.asarray(weights, dtype=np.float64))
-        children = children.copy()
-        for v in range(n):
-            s, e = childptr[v], childptr[v + 1]
-            if e - s > 1:
-                seg = children[s:e]
-                children[s:e] = seg[np.argsort(w[seg], kind="stable")]
+        # reorder every parent's child run by subtree weight in one
+        # lexsort (owner, weight, id) — the per-parent Python loop this
+        # replaces was an O(n)-iteration inspector hot spot at n ~ 10^5+
+        owner = np.repeat(np.arange(n, dtype=np.int64),
+                          np.diff(childptr))
+        children = children[np.lexsort((children, w[children], owner))]
         roots = roots[np.argsort(w[roots], kind="stable")].astype(IDX)
     if _native is not None:
         return _native.postorder(n, childptr, children.astype(IDX),

@@ -48,6 +48,12 @@ def compute_ordering(a: CSC, method: str = "amd",
         # BFS level-structure ND needs no geometry and measures better
         # fill than the coordinate bisection even when coords exist
         # (scripts/diag_r3.py comparison), so it is the primary path.
+        # The C++ driver removes the per-bisection scipy submatrix cost
+        # (~19 s of the n=262k inspector, RESULTS_r04).
+        if _native is not None and hasattr(_native, "nd_order"):
+            perm = _native.nd_order(full).astype(IDX)
+            check_permutation(perm, a.n)
+            return perm
         return _graph_nd(full)
     if method == "nd-geo":
         if a.coords is None:

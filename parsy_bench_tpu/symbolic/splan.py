@@ -226,17 +226,100 @@ def _shard_of(cost, group_key, nshards):
     return g
 
 
+def slack_levels(part, rptr: np.ndarray, rows: np.ndarray,
+                 lev: np.ndarray, classes, height_unit: int = 8,
+                 max_shift: int = 64) -> np.ndarray:
+    """Slack-based level placement: delay supernodes from their earliest
+    wavefront level into later levels to flatten each (width-class,
+    height-class) bucket's per-level lane histogram — fewer padded lanes
+    per scan step (the reference exploits the same slack
+    height-depth-level freedom, InspectionLevel_06.h:118-132 +
+    makeSlackedLevelSet, TreeUtils.h:415).
+
+    Validity: supernode d must finalize strictly before every supernode
+    it updates (its ancestors holding its below-diagonal rows), i.e.
+    new_lev[d] < min(new_lev[targets(d)]).  Processing in decreasing
+    earliest-level order guarantees every target is already placed.
+    Ties pick the earliest level, so a balanced plan never gets deeper.
+    """
+    from parsy_bench_tpu.symbolic.supernodes import _height_class
+    nsuper = part.nsuper
+    if nsuper == 0:
+        return lev
+    nlev = int(lev.max(initial=-1)) + 1
+    w = np.diff(part.sptr)
+    h = np.diff(rptr)
+    cls = np.searchsorted(np.asarray(classes), w)
+    wpad = np.asarray(classes)[np.minimum(cls, len(classes) - 1)]
+    hpad = _height_class(h, wpad)
+    # bucket key per supernode
+    key_raw = cls.astype(np.int64) * (int(hpad.max()) + 1) + hpad
+    _, key = np.unique(key_raw, return_inverse=True)
+    nkey = int(key.max()) + 1
+
+    # targets per supernode (unique ancestor supernodes of below rows)
+    dd, ss, _, _ = emit_pairs(rptr, rows, part.sptr, part.col2sup)
+    pord = np.argsort(dd, kind="stable")
+    pptr = _cumsum0(np.bincount(dd[pord], minlength=nsuper))
+    pss = ss[pord]
+
+    # current per-(key, level) lane counts at the earliest placement
+    load = np.zeros((nkey, nlev), dtype=np.int64)
+    np.add.at(load, (key, lev), 1)
+    assigned = lev.astype(np.int64).copy()
+    order = np.argsort(-lev, kind="stable")
+    for s in order:
+        e = int(lev[s])
+        tgt = pss[pptr[s]:pptr[s + 1]]
+        lat = int(assigned[tgt].min()) - 1 if len(tgt) else nlev - 1
+        lat = min(lat, e + max_shift)
+        if lat <= e:
+            continue
+        k = key[s]
+        window = load[k, e + 1:lat + 1]
+        # peak-shave: move only into a level where this bucket already
+        # has lanes (never seeds a new (bucket, level) pair — that would
+        # add whole padded bucket blocks to new scan segments), and only
+        # when it strictly flattens the histogram
+        cand = np.nonzero(window > 0)[0]
+        if len(cand) == 0:
+            continue
+        t = e + 1 + int(cand[np.argmin(window[cand])])
+        if load[k, t] + 1 < load[k, e]:
+            assigned[s] = t
+            load[k, t] += 1
+            load[k, e] -= 1
+    return assigned
+
+
 def build_supernodal_plan(a: CSC, parent: np.ndarray, cc: np.ndarray,
-                          lpat: sp.csc_matrix,
+                          lpat: sp.csc_matrix | None = None,
                           config: SolverConfig | None = None
                           ) -> SupernodalPlan:
-    """Inspector: partition -> class layout -> batched step tables."""
+    """Inspector: partition -> class layout -> batched step tables.
+
+    ``lpat`` may be None: the layout then takes its row patterns from the
+    native etree walk and the simplicial pattern stays lazy (verification
+    only) — the all-native analyze contract (reference LSparsity.h:256)."""
     config = config or SolverConfig()
     part = build_partition(a, parent, cc, config.nrelax, config.zrelax,
                            config.max_supernode_width)
     lev = tree_levels(part.sparent)
-    nlev = int(lev.max(initial=-1)) + 1
-    layout = build_class_layout(lpat, a, part, lev, config.width_classes)
+    from parsy_bench_tpu.symbolic.supernodes import (
+        _native, supernodal_rows, supernodal_rows_from_etree)
+    if lpat is None and _native is not None \
+            and hasattr(_native, "supernodal_rows"):
+        rptr, rows = supernodal_rows_from_etree(a, parent, part)
+    else:
+        if lpat is None:
+            from parsy_bench_tpu.symbolic.colcounts import symbolic_pattern
+            lpat = symbolic_pattern(a, parent)
+        rptr, rows = supernodal_rows(lpat, part)
+    if config.slack_placement:
+        lev = slack_levels(part, rptr, rows, lev, config.width_classes)
+    layout = build_class_layout(lpat, a, part, lev, config.width_classes,
+                                parent=parent, nnz_l=int(cc.sum()),
+                                rptr=rptr, rows=rows)
     return plan_from_layout(a.n, layout, cc=cc, config=config)
 
 

@@ -25,6 +25,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from parsy_bench_tpu.core.csc import CSC, IDX
+from parsy_bench_tpu.native import lib as _native
 
 
 @dataclasses.dataclass
@@ -100,12 +101,22 @@ def relaxed_amalgamation(parent: np.ndarray, cc: np.ndarray,
     width = np.diff(sptr).astype(np.int64)
     # number of rows of the supernode panel (= pattern of its first column)
     nrows = cc[sptr[:-1]].astype(np.int64)
-    # explicit zeros currently in the panel
-    zeros = np.zeros(nsuper, dtype=np.float64)
-    for s in range(nsuper):
-        j1, j2 = sptr[s], sptr[s + 1]
-        zeros[s] = nrows[s] * width[s] - np.sum(
-            cc[j1:j2] + np.arange(j2 - j1))
+    # explicit zeros currently in the panel:
+    # nrows*w - sum_{k=0..w-1}(cc[j1+k] + k), vectorized via a cc cumsum
+    cs = np.concatenate([[0], np.cumsum(cc, dtype=np.int64)])
+    zeros = (nrows * width - (cs[sptr[1:]] - cs[sptr[:-1]]
+                              + width * (width - 1) // 2)
+             ).astype(np.float64)
+    first_col = sptr[:-1].copy()   # start columns never mutate below
+
+    if _native is not None:
+        is_root = _native.relaxed_amalgamation(
+            sptr.copy().astype(np.int64), sparent, width.copy(),
+            nrows.copy(), zeros.copy(), nrelax, zrelax, max_width)
+        new_start = np.zeros(n, dtype=bool)
+        new_start[first_col[is_root]] = True
+        new_start[0] = True
+        return new_start
 
     merged_into = np.arange(nsuper)  # union-find to the surviving root
 
@@ -214,6 +225,7 @@ class ClassLayout:
     is only fast at row granularity (scripts/microbench2.py).
     """
     part: SupernodePartition
+    n: int                    # matrix dimension
     classes: tuple            # stored width classes, ascending
     rptr: np.ndarray          # (nsuper+1,) row-pattern offsets
     rows: np.ndarray          # (sum h,) global row ids, ascending per panel
@@ -226,13 +238,22 @@ class ClassLayout:
     rlo: np.ndarray           # (ncls, nlev) window start row
     wrows: np.ndarray         # (ncls, nlev) true window rows
     a_map: list               # per class: (2, k) [flat pool pos; a-data idx]
-    lpat: sp.csc_matrix       # simplicial L pattern (for lazy l_map)
+    lpat: object              # simplicial L pattern: sp.csc_matrix OR a
+    #                           zero-arg picklable callable producing one
+    #                           (lazy — verification paths only)
     nnz_l: int                # nnz of the simplicial pattern
     _l_map_cache: list | None = None
 
     @property
     def ncls(self) -> int:
         return len(self.classes)
+
+    def lpat_matrix(self) -> sp.csc_matrix:
+        """The simplicial L pattern, materializing it on first use (it
+        is nnz(L)-sized and only verification paths need it)."""
+        if callable(self.lpat):
+            self.lpat = self.lpat()
+        return self.lpat
 
     @property
     def l_map(self) -> list:
@@ -242,11 +263,12 @@ class ClassLayout:
         verification path (factor_values) reads it — eager computation
         used to dominate the whole plan emission."""
         if self._l_map_cache is None:
-            lptr = self.lpat.indptr.astype(np.int64)
-            n = self.lpat.shape[0]
+            lpat = self.lpat_matrix()
+            lptr = lpat.indptr.astype(np.int64)
+            n = lpat.shape[0]
             lcol = np.repeat(np.arange(n, dtype=np.int64), np.diff(lptr))
             lc, lflat = _entry_positions(
-                self, self.lpat.indices.astype(np.int64), lcol)
+                self, lpat.indices.astype(np.int64), lcol)
             self._l_map_cache = [
                 np.stack([lflat[lc == ci], np.nonzero(lc == ci)[0]])
                 for ci in range(self.ncls)]
@@ -260,7 +282,7 @@ def _entry_positions(lay: "ClassLayout", i: np.ndarray,
                      j: np.ndarray) -> tuple:
     """(class, flat pool position) of entries L[i, j] (i >= j, int64)."""
     part = lay.part
-    n = lay.lpat.shape[0]
+    n = lay.n
     nsuper = part.nsuper
     sup_of_row = np.repeat(np.arange(nsuper, dtype=np.int64),
                            np.diff(lay.rptr))
@@ -279,6 +301,35 @@ def _height_class(h: np.ndarray, base: np.ndarray) -> np.ndarray:
     h8 = np.maximum(-(-h // 8) * 8, base)
     k = np.ceil(np.log2(np.maximum(h8 / base, 1.0) - 1e-12))
     return (base * np.power(2.0, np.maximum(k, 0))).astype(np.int64)
+
+
+class _LazyPattern:
+    """Picklable thunk producing the simplicial L pattern on demand, so
+    inspector artifacts stay self-contained without materializing the
+    nnz(L)-sized pattern (verification paths only)."""
+
+    def __init__(self, a: CSC, parent: np.ndarray):
+        self.a, self.parent = a, parent
+
+    def __call__(self) -> sp.csc_matrix:
+        from parsy_bench_tpu.symbolic.colcounts import symbolic_pattern
+        return symbolic_pattern(self.a, self.parent)
+
+
+def supernodal_rows_from_etree(a: CSC, parent: np.ndarray,
+                               part: SupernodePartition) -> tuple:
+    """(rptr, rows) via the native etree row walk — the reference's
+    row-subtree Ls construction (Inspection_BlockC.h:684-752) without
+    materializing the simplicial pattern.  Requires the native library;
+    callers fall back to :func:`supernodal_rows`."""
+    at = a.to_scipy().T.tocsc()  # row view of lower(A)
+    rptr, rows = _native.supernodal_rows(
+        at.indptr.astype(np.int64), at.indices.astype(np.int32),
+        parent.astype(np.int32), part.col2sup.astype(np.int32),
+        part.nsuper)
+    widths = np.diff(part.sptr)
+    assert np.all(np.diff(rptr) >= widths), "diag rows missing from pattern"
+    return rptr.astype(np.int64), rows.astype(IDX)
 
 
 def supernodal_rows(lpat: sp.csc_matrix,
@@ -301,14 +352,36 @@ def supernodal_rows(lpat: sp.csc_matrix,
     return rptr, rows
 
 
-def build_class_layout(lpat: sp.csc_matrix, a: CSC,
+def build_class_layout(lpat, a: CSC,
                        part: SupernodePartition, lev: np.ndarray,
-                       classes=(32, 128)) -> ClassLayout:
-    """Level-major per-class row-pool layout (see ClassLayout)."""
-    n = lpat.shape[0]
+                       classes=(32, 128), parent: np.ndarray | None = None,
+                       nnz_l: int | None = None,
+                       rptr: np.ndarray | None = None,
+                       rows: np.ndarray | None = None) -> ClassLayout:
+    """Level-major per-class row-pool layout (see ClassLayout).
+
+    ``lpat`` may be None when ``parent`` and ``nnz_l`` are given: the
+    supernodal row patterns then come from the native etree row walk and
+    the simplicial pattern stays lazy (computed only if a verification
+    path asks for it).  Precomputed (rptr, rows) skip that step."""
+    n = a.n
     sptr, nsuper = part.sptr, part.nsuper
     classes = tuple(sorted(classes))
-    rptr, rows = supernodal_rows(lpat, part)
+    if rptr is None:
+        if lpat is None:
+            if parent is None or nnz_l is None:
+                raise ValueError("lpat=None requires parent and nnz_l")
+            if _native is not None and hasattr(_native, "supernodal_rows"):
+                rptr, rows = supernodal_rows_from_etree(a, parent, part)
+            else:
+                from parsy_bench_tpu.symbolic.colcounts import (
+                    symbolic_pattern)
+                lpat = symbolic_pattern(a, parent)
+                rptr, rows = supernodal_rows(lpat, part)
+        else:
+            rptr, rows = supernodal_rows(lpat, part)
+    lpat_store = lpat if lpat is not None else _LazyPattern(a, parent)
+    nnz_l = int(lpat.nnz) if lpat is not None else int(nnz_l)
     h = np.diff(rptr)
     w = np.diff(sptr)
     cls = np.searchsorted(np.asarray(classes), w)
@@ -342,10 +415,10 @@ def build_class_layout(lpat: sp.csc_matrix, a: CSC,
                              - rlo[ci], 0)
         nrows[ci] = total  # slack added by the plan builder
 
-    lay = ClassLayout(part=part, classes=classes, rptr=rptr, rows=rows,
+    lay = ClassLayout(part=part, n=n, classes=classes, rptr=rptr, rows=rows,
                       cls=cls, wpad=wpad, hpad=hpad, rowoff=rowoff,
                       nrows=nrows, lev=lev, rlo=rlo, wrows=wrows,
-                      a_map=[], lpat=lpat, nnz_l=int(lpat.nnz))
+                      a_map=[], lpat=lpat_store, nnz_l=nnz_l)
     acol = np.repeat(np.arange(n, dtype=np.int64), np.diff(a.indptr))
     ac, aflat = _entry_positions(lay, a.indices.astype(np.int64), acol)
     lay.a_map = [np.stack([aflat[ac == ci],

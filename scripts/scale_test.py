@@ -108,7 +108,7 @@ def main():
             solver.executor.solve_loop(solver.lx, bp, iters))
         times.append((time.perf_counter() - t0) / iters)
     smed = sorted(times)[1]
-    nnzl = int(solver.lpat.nnz)
+    nnzl = int(solver.cc.sum())
     print(json.dumps({
         "solve_compile_s": round(t_sc, 1),
         "trisolve_s": round(smed, 5),

@@ -77,7 +77,7 @@ def main():
         cc = comm_cost(s.plan)
         if g == 1:
             t1 = tf
-        nnzl = int(s.lpat.nnz)
+        nnzl = int(s.cc.sum())
         rows.append({
             "g": g, "factorize_s": round(tf, 4),
             "solve_s": round(tsolve, 4),

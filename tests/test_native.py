@@ -100,3 +100,66 @@ def test_amd_order_quality():
         f_amd = fill(perm)
         f_mmd = fill(_mmd_via_superlu(full))
         assert f_amd <= 1.25 * f_mmd, (name, f_amd, f_mmd)
+
+
+def test_native_relaxed_amalgamation_matches_python():
+    """pbt_relaxed_amalgamation must match the NumPy specification
+    bit-for-bit (same surviving merge roots) across matrices and
+    threshold settings."""
+    import numpy as np
+    from parsy_bench_tpu.native import lib
+    if lib is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    from parsy_bench_tpu.core import generate
+    from parsy_bench_tpu.symbolic import supernodes as sn
+    from parsy_bench_tpu.symbolic.etree import etree, postorder
+    from parsy_bench_tpu.symbolic.colcounts import col_counts
+    for name in ["tiny", "bcsstk14ish", "ecology_small", "apache_small"]:
+        a = generate.SUITE[name]()
+        parent0 = etree(a)
+        post = postorder(parent0, weights=col_counts(a, parent0))
+        ap = a.permute(post)
+        parent = etree(ap)
+        cc = col_counts(ap, parent)
+        start = sn.fundamental_supernodes(parent, cc)
+        for nrelax, zrelax in [((4, 16, 48), (0.8, 0.1, 0.05)),
+                               ((8, 32, 96), (0.9, 0.2, 0.1))]:
+            got = sn.relaxed_amalgamation(parent, cc, start, nrelax,
+                                          zrelax, 128)
+            saved, sn._native = sn._native, None
+            try:
+                want = sn.relaxed_amalgamation(parent, cc, start, nrelax,
+                                               zrelax, 128)
+            finally:
+                sn._native = saved
+            assert np.array_equal(got, want), name
+
+
+def test_native_supernodal_rows_matches_union():
+    """pbt_supernodal_rows (etree row walk, the reference's subtree Ls
+    construction) must equal the simplicial-pattern union specification
+    exactly."""
+    import numpy as np
+    from parsy_bench_tpu.native import lib
+    if lib is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    from parsy_bench_tpu.core import generate
+    from parsy_bench_tpu.symbolic import supernodes as sn
+    from parsy_bench_tpu.symbolic.etree import etree, postorder, tree_levels
+    from parsy_bench_tpu.symbolic.colcounts import (col_counts,
+                                                    symbolic_pattern)
+    for name in ["tiny", "bcsstk14ish", "ecology_small", "apache_small"]:
+        a = generate.SUITE[name]()
+        parent0 = etree(a)
+        post = postorder(parent0, weights=col_counts(a, parent0))
+        ap = a.permute(post)
+        parent = etree(ap)
+        cc = col_counts(ap, parent)
+        part = sn.build_partition(ap, parent, cc)
+        rptr_n, rows_n = sn.supernodal_rows_from_etree(ap, parent, part)
+        lpat = symbolic_pattern(ap, parent)
+        rptr_p, rows_p = sn.supernodal_rows(lpat, part)
+        assert np.array_equal(rptr_n, rptr_p), name
+        assert np.array_equal(rows_n, rows_p), name
