@@ -54,9 +54,12 @@ class SolverConfig:
     #: of the true work (ops/simplicial.py segment_levels).
     segment_alpha: float = 1.25
     #: slack-based level placement: delay supernodes below their update
-    #: targets to flatten per-bucket lane histograms (fewer padded lanes;
-    #: reference slack freedom, InspectionLevel_06.h:118-132).
-    slack_placement: bool = True
+    #: targets to flatten per-bucket lane histograms (reference slack
+    #: freedom, InspectionLevel_06.h:118-132).  Cuts padded finalize
+    #: lanes 76% at n=32k, but measured 12% SLOWER factorize on the real
+    #: chip at n=1e5 (update-bucket peaks grow when sources move later,
+    #: RESULTS_r04) — off by default, kept as a measured knob.
+    slack_placement: bool = False
     #: general-DAG trisolve schedule: "wavefront" (one batched step per
     #: level, H1), "coarsened" (dense W-column window steps, the DAG-LBC
     #: replacement — symbolic/dagplan.py), or "auto" (cost-model pick).

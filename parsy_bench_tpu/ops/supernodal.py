@@ -106,6 +106,39 @@ class SupernodalExecutor:
         self._flat_upd = jnp.asarray(
             np.concatenate(upd_pieces, axis=1) if upd_pieces
             else np.zeros((G, 0), dtype=np.int32))
+
+        # ---- pair-granular solve tables (separate buffer so factorize
+        # program cache keys are untouched; see _solve_lower_fast_impl)
+        self._has_fast_solve = (
+            getattr(plan, "bmap", None) is not None
+            and all(getattr(s, "srlo", None) is not None
+                    for s in plan.segments))
+        if self._has_fast_solve:
+            sol_pieces: list[np.ndarray] = []
+            self._sol_len = 0
+
+            def _pack_sol(arr):
+                a = np.ascontiguousarray(arr, dtype=np.int32).ravel()
+                off = self._sol_len
+                sol_pieces.append(a)
+                self._sol_len += a.size
+                return (off, tuple(arr.shape))
+
+            self._bmap_meta = [_pack_sol(m) for m in plan.bmap]
+            self._sol_meta = []
+            for seg in plan.segments:
+                supd = [dict(brow=_pack_sol(b.brow),
+                             xrow=_pack_sol(b.xrow),
+                             colq=_pack_sol(b.colq),
+                             dst=_pack_sol(b.dst))
+                        for b in seg.supd]
+                soff = [_pack_sol(sf) for sf in seg.soff]
+                srlo = _pack_sol(seg.srlo.T)        # (T, ncls)
+                self._sol_meta.append((supd, soff, srlo))
+            self._flat_sol = jnp.asarray(
+                np.concatenate(sol_pieces) if sol_pieces
+                else np.zeros(0, dtype=np.int32))
+            self._solve_lower_fast = jax.jit(self._solve_lower_fast_impl)
         self._factorize = jax.jit(self._factorize_impl)
         # jitted once here: a fresh jax.jit(self._init_pools) per call would
         # retrace every time (bound-method identity differs per access)
@@ -390,12 +423,18 @@ class SupernodalExecutor:
         """Run ``iters`` forward triangular solves inside ONE device
         program (benchmark helper mirroring ``factorize_loop``; reference
         protocol: 5 timed solves, triangularTest02.cpp:195-260).  Returns
-        the last x; iterations are chained fold-proof."""
-        def run(pools, b, fr, iters):
+        the last x; iterations are chained fold-proof.  Uses the
+        pair-granular fast path when the plan carries its tables."""
+        fast = self._has_fast_solve
+
+        def run(pools, b, fr, fs, iters):
             def body(i, carry):
                 acc, _ = carry
                 bi = jnp.where(acc == acc, b, acc)
-                x = self._solve_lower_impl(pools, bi, fr)
+                if fast:
+                    x = self._solve_lower_fast_impl(pools, bi, fr, fs)
+                else:
+                    x = self._solve_lower_impl(pools, bi, fr)
                 return x[0], x
             _, x = jax.lax.fori_loop(
                 0, iters, body,
@@ -403,9 +442,10 @@ class SupernodalExecutor:
                  jnp.zeros(self.plan.n, self.dtype)))
             return x
         if not hasattr(self, "_solve_loop_fn"):
-            self._solve_loop_fn = jax.jit(run, static_argnums=3)
+            self._solve_loop_fn = jax.jit(run, static_argnums=4)
+        fs = self._flat_sol if fast else jnp.zeros(0, jnp.int32)
         return self._solve_loop_fn(pools, jnp.asarray(b), self._flat_rep,
-                                   iters)
+                                   fs, iters)
 
     # ------------------------------------------------------------ solves
     def _diag_tri(self, blk, w, c):
@@ -578,8 +618,116 @@ class SupernodalExecutor:
             x, _ = jax.lax.scan(step, x, (fin_xs, rlo_all), reverse=True)
         return x[:n]
 
+    def _solve_lower_fast_impl(self, pools, b_vec, flat_rep, flat_sol):
+        """Forward substitution with the RHS in PANEL-COLUMN layout
+        (xb pools: one c-wide row per panel holding the b/x values of its
+        columns).  Per level step each update pair contributes ONE
+        column-aligned row scatter (y = L_overlap @ x_src, aligned by a
+        one-hot matmul) instead of one element per below-diagonal factor
+        row — the index count drops from sum(panel heights) to the pair
+        count (~6x fewer at n=1e5), which is the measured floor of the
+        blocked solve.  Mirrors the factorize delta-window discipline
+        over panel SLOTS (SolveUpdBucket, splan.py)."""
+        n = self.plan.n
+        classes = self.classes
+
+        def vs(meta):
+            off, shape = meta
+            return jax.lax.slice_in_dim(
+                flat_sol, off, off + int(np.prod(shape)),
+                axis=0).reshape(shape)
+
+        # xb init: scatter b into panel-column positions
+        xb = []
+        for ci, c in enumerate(classes):
+            m = vs(self._bmap_meta[ci])
+            r = int(self.plan.npanels[ci])
+            xb.append(jnp.zeros(r * c, self.dtype)
+                      .at[m[0]].set(b_vec.astype(self.dtype)[m[1]])
+                      .reshape(r, c))
+        pools8 = [p.reshape(-1, 8 * c)
+                  for p, c in zip(pools, classes)]
+        fin_rep = self._unpack(flat_rep)
+        for si, seg in enumerate(self.plan.segments):
+            _, fin_xs, rlo_all = fin_rep[si]
+            supd_m, soff_m, srlo_m = self._sol_meta[si]
+            supd = [dict((k, vs(mm)) for k, mm in m.items())
+                    for m in supd_m]
+            soffs = [vs(m) for m in soff_m]
+            srlo = vs(srlo_m)
+
+            def step(xb, xs, seg=seg):
+                f_xs, rlo_t, su_xs, soff_t, srlo_t = xs
+                wins = [jax.lax.dynamic_slice(
+                    xb[ci], (srlo_t[ci], jnp.int32(0)),
+                    (seg.sslice[ci], c))
+                    for ci, c in enumerate(classes)]
+                deltas = [jnp.zeros((seg.sslice[ci] + 1, c), self.dtype)
+                          for ci, c in enumerate(classes)]
+                for b, sx in zip(seg.supd, su_xs):
+                    Braw = pools8[b.kcls][
+                        (sx["brow"] // 8)[:, None] + _iota(b.Q // 8)
+                    ].reshape(-1, b.Q, b.K)
+                    xsrc = xb[b.kcls][sx["xrow"]]         # (P, K)
+                    y = jnp.einsum("pqk,pk->pq", Braw, xsrc,
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=self.dtype)
+                    S = (_iota(b.c)[None, :, None]
+                         == sx["colq"][:, None, :]).astype(self.dtype)
+                    C = jnp.einsum("pq,pcq->pc", y, S,
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=self.dtype)
+                    deltas[b.ccls] = deltas[b.ccls].at[sx["dst"]].add(C)
+                wins = [w - d[:seg.sslice[ci]]
+                        for ci, (w, d) in enumerate(zip(wins, deltas))]
+                # diagonal solves per finalize bucket (panel slots are a
+                # contiguous run within the slot window)
+                fi = 0
+                xdel = [jnp.zeros_like(w) for w in wins]
+                for fb, fx in zip(seg.fin, f_xs):
+                    c = fb.c
+                    blk = self._panel_blk(pools, fb, fx, rlo_t)
+                    Linv = self._inv_blk(blk, fx["w"], c)
+                    so = soff_t[fi]
+                    fi += 1
+                    rhs = jax.lax.dynamic_slice(
+                        wins[fb.ccls], (so, jnp.int32(0)), (fb.P, c))
+                    colv = (_iota(c)[None, :]
+                            < fx["w"][:, None]).astype(self.dtype)
+                    xs_ = jnp.einsum(
+                        "pij,pj->pi", Linv, rhs * colv,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=self.dtype) * colv
+                    diff = (xs_ - rhs) * colv
+                    xdel[fb.ccls] = jax.lax.dynamic_update_slice(
+                        xdel[fb.ccls],
+                        jax.lax.dynamic_slice(
+                            xdel[fb.ccls], (so, jnp.int32(0)),
+                            (fb.P, c)) + diff,
+                        (so, jnp.int32(0)))
+                wins = [w + d for w, d in zip(wins, xdel)]
+                xb = [jax.lax.dynamic_update_slice(
+                    xb[ci], wins[ci], (srlo_t[ci], jnp.int32(0)))
+                    for ci in range(len(classes))]
+                return xb, None
+            soff_stack = soffs if soffs else []
+            xb, _ = jax.lax.scan(
+                step, xb,
+                (fin_xs, rlo_all, supd,
+                 jnp.stack(soff_stack, 1) if soff_stack
+                 else jnp.zeros((seg.nsteps, 0), jnp.int32),
+                 srlo))
+        out = jnp.zeros(n, self.dtype)
+        for ci in range(self.ncls):
+            m = vs(self._bmap_meta[ci])
+            out = out.at[m[1]].set(xb[ci].reshape(-1)[m[0]])
+        return out
+
     def solve_lower(self, pools, b):
         """x = L^{-1} b (forward substitution, level-parallel)."""
+        if self._has_fast_solve:
+            return self._solve_lower_fast(pools, jnp.asarray(b),
+                                          self._flat_rep, self._flat_sol)
         return self._solve_lower(pools, jnp.asarray(b), self._flat_rep)
 
     def solve_upper(self, pools, b):

@@ -91,12 +91,41 @@ class FinBucket:
 
 
 @dataclasses.dataclass
+class SolveUpdBucket:
+    """Pair-granular RHS-update batch for the blocked triangular solve.
+
+    One lane per update pair (d -> s): the executor gathers the pair's
+    aligned overlap rows of d (``brow``, the factorize B operand), the
+    solved x-row of d from the panel-column x/b pool (``xrow``), forms
+    y = L_overlap @ x_d and lands it column-aligned on the target
+    panel's RHS row (``dst``) — ONE row scatter per pair instead of one
+    element per below-diagonal factor row (the ``omp atomic`` scatter of
+    the reference trisolve, Triangular_BCSC.h:218)."""
+    kcls: int
+    K: int
+    ccls: int
+    c: int
+    Q: int
+    brow: np.ndarray     # (T, P) int32 aligned overlap start row (pool)
+    xrow: np.ndarray     # (T, P) int32 source panel slot (xb pool row)
+    colq: np.ndarray     # (T, P, Q) int32 target column; pad -> c
+    dst: np.ndarray      # (T, P) int32 window-local target slot; pad ->
+    #                      sslice (the delta dummy row)
+
+
+@dataclasses.dataclass
 class SupSegment:
     nsteps: int
     upd: list[UpdBucket]
     fin: list[FinBucket]
     rlo: np.ndarray      # (ncls, T) int32 window start row per class
     wslice: tuple        # per class: static window slice rows (padded)
+    supd: list = dataclasses.field(default_factory=list)
+    #                      SolveUpdBucket list (blocked trisolve)
+    srlo: np.ndarray | None = None   # (ncls, T) slot window starts
+    sslice: tuple | None = None      # per class: static slot window rows
+    soff: list = dataclasses.field(default_factory=list)
+    #                      per fin bucket: (T,) window-local slot offset
 
 
 @dataclasses.dataclass
@@ -110,6 +139,8 @@ class SupernodalPlan:
     flops: float         # true factorization flops
     gemm_flops: float    # padded update-einsum flops (for the cost model)
     nrows: np.ndarray    # (ncls,) final pool rows (incl. slack + dummy row)
+    npanels: np.ndarray | None = None  # (ncls,) panel slots per class
+    bmap: list | None = None  # per class (2, k): [xb flat pos; b index]
 
     @property
     def classes(self):
@@ -344,22 +375,30 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
     gemm_flops = 0.0
 
     # ----------------------------------------------------------- pairs
-    if with_updates:
+    # Pair arrays feed BOTH the factorize update chunks (with_updates)
+    # and the pair-granular solve-update tables (always emitted — the
+    # blocked trisolve of a given factor needs them too).
+    if True:
         dd, ss, lb, qq = emit_pairs(rptr, rows, sptr, part.col2sup)
         mm = (rptr[dd + 1] - rptr[dd] - lb).astype(np.int64)
-        # per-pair-row target positions (vectorized searchsorted)
-        sup_of_row = np.repeat(np.arange(part.nsuper, dtype=np.int64),
-                               h_all)
-        row_keys = sup_of_row * np.int64(n + 1) + rows.astype(np.int64)
         ridx, pair_of, intra = _expand(rptr[dd] + lb, mm)
         rv = rows[ridx].astype(np.int64)
-        pos = np.searchsorted(row_keys,
-                              ss[pair_of] * np.int64(n + 1) + rv)
-        assert np.all(rows[pos] == rv), "supernodal subset violated"
-        # delta-window-local target row of every pair row
-        dst_local_flat = (rowoff[ss[pair_of]] + (pos - rptr[ss[pair_of]])
-                          - layout.rlo[cls[ss[pair_of]],
-                                       lev[ss[pair_of]]]).astype(np.int64)
+        if with_updates:
+            # per-pair-row target positions (vectorized searchsorted);
+            # needs the supernodal subset property, which only CHORDAL
+            # factors guarantee — solve-only plans (non-chordal L) skip it
+            sup_of_row = np.repeat(np.arange(part.nsuper, dtype=np.int64),
+                                   h_all)
+            row_keys = sup_of_row * np.int64(n + 1) + rows.astype(np.int64)
+            pos = np.searchsorted(row_keys,
+                                  ss[pair_of] * np.int64(n + 1) + rv)
+            assert np.all(rows[pos] == rv), "supernodal subset violated"
+            # delta-window-local target row of every pair row
+            dst_local_flat = (rowoff[ss[pair_of]]
+                              + (pos - rptr[ss[pair_of]])
+                              - layout.rlo[cls[ss[pair_of]],
+                                           lev[ss[pair_of]]]
+                              ).astype(np.int64)
         pr_off = _cumsum0(mm)          # pair -> flat row range
         # overlap columns: first q rows of each pair -> target column pos
         bsel = intra < qq[pair_of]
@@ -390,6 +429,7 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
         # because chunk classes are multiples of PACK
         if np.any(np.asarray(config.chunk_classes) % PACK):
             raise ValueError("chunk_classes must be multiples of 8")
+    if with_updates:
         cpair, cmc, coff, cmtrue_eff = _chunk_pairs(
             m_eff, config.chunk_classes)
         col0 = np.where(coff == 0, shift[cpair], 0)   # first real column
@@ -433,10 +473,27 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
     segments: list[SupSegment] = []
     max_over = np.zeros(ncls, dtype=np.int64)   # pool slack requirement
 
+    # panel-slot coordinates for the blocked trisolve (pair-granular RHS
+    # updates into a panel-column x/b pool — see SolveUpdBucket): slot of
+    # a panel = its rank in the class pool order; slot windows mirror the
+    # row windows
+    pslot = np.zeros(part.nsuper, dtype=np.int64)
+    slot_rlo = np.zeros((ncls, nlev), dtype=np.int64)
+    npanels = np.zeros(ncls, dtype=np.int64)
+    for ci in range(ncls):
+        sel = np.nonzero(cls == ci)[0]
+        order = sel[np.lexsort((sel, hpad[sel], lev[sel]))]
+        pslot[order] = np.arange(len(order))
+        npanels[ci] = len(order)
+        pc = np.zeros(nlev, dtype=np.int64)
+        np.add.at(pc, lev[sel], 1)
+        slot_rlo[ci] = _cumsum0(pc)[:-1]
+    max_sover = np.zeros(ncls, dtype=np.int64)  # xb pool slack
+
+    seg_of_lev = np.zeros(nlev, dtype=np.int64)
+    for si, (t0, t1) in enumerate(segs):
+        seg_of_lev[t0:t1] = si
     if with_updates and len(cpair):
-        seg_of_lev = np.zeros(nlev, dtype=np.int64)
-        for si, (t0, t1) in enumerate(segs):
-            seg_of_lev[t0:t1] = si
         cseg = seg_of_lev[clev]
         # global sort of chunks by (segment, bucket, shard, level) and
         # lane ranks within (segment, bucket, shard, level)
@@ -456,6 +513,8 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
 
         # ---------------- finalize buckets (contiguous slices) ----------
         fin_buckets: list[FinBucket] = []
+        soff_buckets: list[np.ndarray] = []
+        Pmax = np.zeros(ncls, dtype=np.int64)
         for ci in range(ncls):
             c = classes[ci]
             sel = np.nonzero((cls == ci) & (lev >= t0) & (lev < t1))[0]
@@ -469,7 +528,9 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
                 # lane axis padded to a multiple of the shard count so the
                 # sharded executor can stride-partition bucket ownership
                 P = -(-int(cnt.max()) // G) * G
+                Pmax[ci] = max(Pmax[ci], P)
                 boff = np.zeros(T, dtype=np.int32)
+                soff = np.zeros(T, dtype=np.int32)
                 w_t = np.zeros((T, P), dtype=np.int32)
                 h_t = np.zeros((T, P), dtype=np.int32)
                 cols0 = np.full((T, P), n, dtype=np.int32)
@@ -480,6 +541,9 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
                 first = lane_f == 0
                 boff[tt[first]] = (rowoff[od[first]]
                                    - layout.rlo[ci, lev[od[first]]])
+                soff[tt[first]] = (pslot[od[first]]
+                                   - slot_rlo[ci, lev[od[first]]])
+                soff_buckets.append(soff)
                 w_t[tt, lane_f] = w_all[od]
                 h_t[tt, lane_f] = h_all[od]
                 cols0[tt, lane_f] = sptr[od]
@@ -531,13 +595,66 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
                     kcls=kcls, K=K, ccls=ccls, c=c, Mc=Mc, Q=Q,
                     arow=arow, brow=brow, colq=colq, dst=dstt))
 
+        # ------------- solve-update buckets (pair granular) -------------
+        # the slot window is over-allocated by the largest bucket P so
+        # per-bucket RHS slices at soff never clamp; writes are masked
+        strue = np.zeros((ncls, T), dtype=np.int64)
+        for ci in range(ncls):
+            nxt = np.concatenate([slot_rlo[ci, t0 + 1:t1],
+                                  [npanels[ci] if t1 >= nlev
+                                   else slot_rlo[ci, t1]]])
+            strue[ci] = nxt - slot_rlo[ci, t0:t1]
+        sslice = tuple(int(strue[ci].max(initial=0) + Pmax[ci])
+                       for ci in range(ncls))
+        supd_buckets: list[SolveUpdBucket] = []
+        if len(dd):
+            psel = np.nonzero(seg_of_lev[lev[ss]] == si)[0]  # pairs by tgt
+            if len(psel):
+                pq = q_idx[psel]
+                pbkey = (cls[dd[psel]] * ncls + cls[ss[psel]]) \
+                    * len(config.q_classes) + pq
+                plkey = pbkey * nlev + lev[ss[psel]]
+                pord = np.lexsort((psel, plkey))
+                plane = np.empty(len(psel), dtype=np.int64)
+                plane[pord] = _group_ranks(plkey[pord])
+                for bk in np.unique(pbkey):
+                    bi = psel[pbkey == bk]
+                    kcls = int(cls[dd[bi[0]]])
+                    ccls = int(cls[ss[bi[0]]])
+                    Q = int(qpad[bi[0]])
+                    c = classes[ccls]
+                    P = int(plane[pbkey == bk].max()) + 1
+                    browt = np.zeros((T, P), dtype=np.int32)
+                    # xrow pad 0 is harmless: padded lanes carry colq=c
+                    # (no column match) and dst=dummy
+                    xrowt = np.zeros((T, P), dtype=np.int32)
+                    colqt = np.full((T, P, Q), c, dtype=np.int32)
+                    dstt = np.full((T, P), sslice[ccls], dtype=np.int32)
+                    tt = lev[ss[bi]] - t0
+                    ll = plane[pbkey == bk]
+                    browt[tt, ll] = astart_pair[bi] - shift[bi]
+                    xrowt[tt, ll] = pslot[dd[bi]]
+                    dstt[tt, ll] = (pslot[ss[bi]]
+                                    - slot_rlo[ccls, lev[ss[bi]]])
+                    br, ow_b, intra_b = _expand(bq_off[bi], qq[bi])
+                    colqt[tt[ow_b], ll[ow_b],
+                          shift[bi][ow_b] + intra_b] = b_colpos[br]
+                    supd_buckets.append(SolveUpdBucket(
+                        kcls=kcls, K=classes[kcls], ccls=ccls, c=c, Q=Q,
+                        brow=browt, xrow=xrowt, colq=colqt, dst=dstt))
+
         for ci in range(ncls):
             over = rlo_seg[ci].astype(np.int64) + wslice[ci] \
                 - layout.nrows[ci]
             max_over[ci] = max(max_over[ci], int(over.max(initial=0)))
+            sover = slot_rlo[ci, t0:t1] + sslice[ci] - npanels[ci]
+            max_sover[ci] = max(max_sover[ci], int(sover.max(initial=0)))
         segments.append(SupSegment(nsteps=T, upd=upd_buckets,
                                    fin=fin_buckets, rlo=rlo_seg,
-                                   wslice=tuple(wslice)))
+                                   wslice=tuple(wslice),
+                                   supd=supd_buckets,
+                                   srlo=slot_rlo[:, t0:t1].astype(np.int32),
+                                   sslice=sslice, soff=soff_buckets))
 
     # pool slack so every window slice and padded gather is in-bounds;
     # rounded to a multiple of 8 so pools reshape to packed (r/8, 8c)
@@ -546,6 +663,17 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
         if with_updates else 0
     nrows = layout.nrows + max_over + max_mc + 8 + 1
     nrows = (-(-nrows // 8) * 8).astype(np.int64)
+
+    # xb-pool sizing + b<->panel-column maps for the blocked trisolve
+    npanels_pad = npanels + max_sover + 1
+    bmap = []
+    cols = np.arange(n, dtype=np.int64)
+    s_of_col = part.col2sup.astype(np.int64)
+    bflat = (pslot[s_of_col] * np.asarray(classes)[cls[s_of_col]]
+             + (cols - sptr[s_of_col]))
+    for ci in range(ncls):
+        m = cls[s_of_col] == ci
+        bmap.append(np.stack([bflat[m], cols[m]]))
 
     if cc is not None:
         cc64 = cc.astype(np.float64)
@@ -560,4 +688,5 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
         gemm_flops = 0.0
     return SupernodalPlan(n=n, layout=layout, lev=lev, nlev=nlev,
                           nshards=G, segments=segments, flops=flops,
-                          gemm_flops=gemm_flops, nrows=nrows)
+                          gemm_flops=gemm_flops, nrows=nrows,
+                          npanels=npanels_pad, bmap=bmap)

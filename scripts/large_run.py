@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Reference-scale end-to-end run (VERDICT r3 next-step #2): laplace_3d(64),
+n = 262,144 — the scale band of the reference's SuiteSparse set
+(n = 36k-1.5M, scripts/dlMat.sh) — timed on the real chip with the
+grouped-compile path built for exactly this size.
+
+Writes a BENCH-style JSON artifact (GFLOP/s, residual, analyze_s,
+compile_s, trisolve) to the path given as argv[1] (default LARGE_r04.json).
+
+    python scripts/large_run.py [out.json] [grid]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+_REF_SEC_PER_FLOP = 2.429e-10 / 2.0
+_REF_THREADS = 4
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from parsy_bench_tpu.core import generate
+    from parsy_bench_tpu.config import SolverConfig
+    from parsy_bench_tpu.models import CholeskySolver
+
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "LARGE_r04.json"
+    grid = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    a = generate.laplace_3d(grid)
+    t0 = time.perf_counter()
+    solver = CholeskySolver(a, SolverConfig(ordering="nd", dtype="float32",
+                                            tier="supernodal"))
+    analyze_s = time.perf_counter() - t0
+    print(json.dumps({"stage": "analyze", "s": round(analyze_s, 1),
+                      "timings": solver.timings,
+                      "segments": len(solver.plan.segments),
+                      "gflop_true": round(solver.plan.flops / 1e9, 1),
+                      "pool_mb": round(solver.plan.pool_elems() * 4 / 1e6),
+                      }), flush=True)
+
+    data = jax.device_put(solver.ap.data.astype(np.float32))
+    jax.block_until_ready(data)
+    t0 = time.perf_counter()
+    group = 8      # conservative at this scale (compile-helper memory)
+    solver.lx = jax.block_until_ready(
+        solver.executor.factorize_segmented(data, group=group))
+    compile_s = time.perf_counter() - t0
+    print(json.dumps({"stage": "compile+first", "s": round(compile_s, 1)}),
+          flush=True)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        lx = solver.executor.factorize_segmented(data, group=group)
+        jax.block_until_ready(lx)
+        times.append(time.perf_counter() - t0)
+    median = sorted(times)[len(times) // 2]
+
+    # trisolve on the factor, b = L*1 protocol
+    nnzl = int(solver.cc.sum())
+    lmat = solver.factor_csc().to_scipy()
+    b = np.asarray(lmat @ np.ones(a.n), dtype=np.float32)
+    x = jax.block_until_ready(solver.executor.solve_loop(solver.lx, b, 3))
+    stimes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(solver.executor.solve_loop(solver.lx, b, 3))
+        stimes.append((time.perf_counter() - t0) / 3)
+    smedian = sorted(stimes)[len(stimes) // 2]
+
+    residual = solver.factor_residual()
+    solve_err = float(np.max(np.abs(np.asarray(x) - 1.0)))
+    flops = solver.plan.flops
+    ref_time = flops * _REF_SEC_PER_FLOP / _REF_THREADS
+    art = {
+        "matrix": f"laplace_3d({grid})", "n": int(a.n),
+        "metric": "supernodal_cholesky_factorize_gflops",
+        "value": round(flops / median / 1e9, 2),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(ref_time / median, 3),
+        "factorize_s": [round(t, 3) for t in sorted(times)],
+        "factor_residual": float(f"{residual:.3e}"),
+        "trisolve_gnnz_per_s": round(nnzl / smedian / 1e9, 3),
+        "trisolve_residual": float(f"{solve_err:.3e}"),
+        "analyze_s": round(analyze_s, 1),
+        "analyze_timings": solver.timings,
+        "compile_s": round(compile_s, 1),
+        "group": group,
+    }
+    print(json.dumps(art), flush=True)
+    with open(out_path, "w") as f:
+        json.dump(art, f, indent=1)
+    if not (residual < 1e-3 and solve_err < 1e-3):
+        raise SystemExit("verification failed")
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()
