@@ -38,6 +38,8 @@ def load_matrix(spec: str):
             return generate.laplace_3d(n)
         if kind == "femgrid":
             return generate.fem_grid(n, n, dof=3, seed=0)
+        if kind == "randspd":
+            return generate.random_spd(n, density=0.004, band=4, seed=0)
         raise SystemExit(f"unknown generator {kind}")
     return io.read_matrix_market(spec)
 

@@ -738,10 +738,13 @@ class SupernodalExecutor:
         return self._solve_spd(pools, jnp.asarray(b), self._flat_rep)
 
     # ------------------------------------------------------------ export
-    def _factor_values_impl(self, pools):
+    def _factor_values_impl(self, pools, maps):
+        # maps enter as ARGUMENTS: closing over the nnz(L)-sized index
+        # arrays bakes them into the HLO as constants (a >1 GB program at
+        # n=262k — the remote compile service rejects it)
         out = jnp.zeros(self._nnz_l, self.dtype)
         for ci in range(self.ncls):
-            pos, sel = self._l_map[ci]
+            pos, sel = maps[ci]
             out = out.at[sel].set(pools[ci].reshape(-1)[pos])
         return out
 
@@ -752,7 +755,7 @@ class SupernodalExecutor:
             self._l_map = [(jnp.asarray(m[0].astype(self._map_t)),
                             jnp.asarray(m[1].astype(self._map_t)))
                            for m in self.plan.layout.l_map]
-        return self._factor_values(pools)
+        return self._factor_values(pools, self._l_map)
 
     # --------------------------------------------------------- profiling
     def profile_segments(self, a_data, iters: int = 3,

@@ -32,7 +32,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def main():
+def run_single_g(g: int, grid: int) -> None:
+    """Measure one G in a fresh process (XLA:CPU JIT code mappings from
+    the compiled programs accumulate; one process per G stays under the
+    kernel's max_map_count) and print the row JSON."""
     import jax
     if os.environ.get("JAX_PLATFORMS", "") != "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -46,73 +49,93 @@ def main():
     from parsy_bench_tpu.parallel.dist import DistExecutor
     from parsy_bench_tpu.symbolic.dplan import build_dist_plan
 
-    grid = int(sys.argv[1]) if len(sys.argv) > 1 else 48
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALING_r04.json"
     cores = os.cpu_count() or 1
     a = generate.laplace_3d(grid)
     cfg = SolverConfig(ordering="nd", dtype="float32", tier="supernodal")
-    s = CholeskySolver(a, cfg)       # one shared inspector (analyze once)
+    s = CholeskySolver(a, cfg)
     data32 = s.ap.data.astype(np.float32)
     nnzl = int(s.cc.sum())
+    if g == 1:
+        ex = s.executor
+        fact = lambda: ex.factorize_segmented(data32, group=8)
+        psum_dev = 0.0
+        pool_dev = s.plan.pool_elems() * 4
+        cross = 0.0
+        solve_fn = lambda pools, b: ex.solve_lower(pools, b)
+    else:
+        dplan = build_dist_plan(s.ap, s.parent, s.cc, g, cfg)
+        mesh = Mesh(np.array(jax.devices()[:g]), ("p",))
+        dex = DistExecutor(dplan, mesh, dtype=jnp.float32)
+        fact = lambda: dex.factorize_segmented(data32, group=8)
+        psum_dev = dplan.psum_bytes_per_step()["factorize_bytes"]
+        pool_dev = dplan.pool_elems_per_device() * 4
+        cross = dplan.comm["row_fraction_cross"]
+        solve_fn = lambda pools, b: dex.solve_lower(pools, b)
+    t0 = time.perf_counter()
+    pools = jax.block_until_ready(fact())
+    compile_s = time.perf_counter() - t0
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pools = jax.block_until_ready(fact())
+        ts.append(time.perf_counter() - t0)
+    tf = sorted(ts)[1]
+    bvec = np.asarray(s.ap.spd_rhs_for_ones(), dtype=np.float32)
+    jax.block_until_ready(solve_fn(pools, bvec))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(solve_fn(pools, bvec))
+        ts.append(time.perf_counter() - t0)
+    tsolve = sorted(ts)[1]
+    print("ROW " + json.dumps({
+        "g": g, "n": int(a.n), "nnz_l": nnzl, "cores": cores,
+        "factorize_s": round(tf, 3), "solve_s": round(tsolve, 3),
+        "compile_s": round(compile_s, 1),
+        "factorize_mnnz_per_s": round(nnzl / tf / 1e6, 2),
+        "psum_bytes_per_device_per_factorize": psum_dev,
+        "pool_bytes_per_device": pool_dev,
+        "cross_row_fraction": round(cross, 4),
+    }), flush=True)
+
+
+def main():
+    if "--single-g" in sys.argv:
+        i = sys.argv.index("--single-g")
+        run_single_g(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+        return
+    import subprocess
+    grid = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALING_r04.json"
+    cores = os.cpu_count() or 1
     rows = []
     t1 = None
     for g in (1, 2, 4, 8):
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--single-g", str(g), str(grid)],
+            capture_output=True, text=True)
+        row = None
+        for line in r.stdout.splitlines():
+            if line.startswith("ROW "):
+                row = json.loads(line[4:])
+        if row is None:
+            print(json.dumps({"g": g, "error": r.stderr[-300:]}),
+                  flush=True)
+            continue
         if g == 1:
-            ex = s.executor
-            fact = lambda: ex.factorize_segmented(data32, group=8)
-            psum_dev = 0.0
-            pool_dev = s.plan.pool_elems() * 4
-            cross = 0.0
-            solve_fn = lambda pools, b: ex.solve_lower(pools, b)
-        else:
-            dplan = build_dist_plan(s.ap, s.parent, s.cc, g, cfg)
-            mesh = Mesh(np.array(jax.devices()[:g]), ("p",))
-            dex = DistExecutor(dplan, mesh, dtype=jnp.float32)
-            fact = lambda: dex.factorize_segmented(data32, group=8)
-            psum_dev = dplan.psum_bytes_per_step()["factorize_bytes"]
-            pool_dev = dplan.pool_elems_per_device() * 4
-            cross = dplan.comm["row_fraction_cross"]
-            solve_fn = lambda pools, b: dex.solve_lower(pools, b)
-        t0 = time.perf_counter()
-        pools = jax.block_until_ready(fact())          # compile
-        compile_s = time.perf_counter() - t0
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            pools = jax.block_until_ready(fact())
-            ts.append(time.perf_counter() - t0)
-        tf = sorted(ts)[1]
-        # forward-solve timing on b = A(p,p) @ 1 (correctness of the
-        # distributed solves is covered by tests/test_dist.py)
-        bvec = np.asarray(s.ap.spd_rhs_for_ones(), dtype=np.float32)
-        jax.block_until_ready(solve_fn(pools, bvec))    # compile
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(solve_fn(pools, bvec))
-            ts.append(time.perf_counter() - t0)
-        tsolve = sorted(ts)[1]
-        if g == 1:
-            t1 = tf
-        eff = t1 / (g * tf)
-        rows.append({
-            "g": g, "factorize_s": round(tf, 3),
-            "solve_s": round(tsolve, 3),
-            "compile_s": round(compile_s, 1),
-            "factorize_mnnz_per_s": round(nnzl / tf / 1e6, 2),
-            "efficiency_vs_g1": round(eff, 3),
-            "efficiency_vs_core_ceiling": round(
-                t1 / (min(g, cores) * tf), 3),
-            "psum_bytes_per_device_per_factorize": psum_dev,
-            "pool_bytes_per_device": pool_dev,
-            "cross_row_fraction": round(cross, 4),
-        })
-        print(json.dumps(rows[-1]), flush=True)
+            t1 = row["factorize_s"]
+        row["efficiency_vs_g1"] = round(t1 / (g * row["factorize_s"]), 3)
+        row["efficiency_vs_core_ceiling"] = round(
+            t1 / (min(g, cores) * row["factorize_s"]), 3)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
     art = {
-        "matrix": f"laplace_3d({grid})", "n": int(a.n), "nnz_l": nnzl,
+        "matrix": f"laplace_3d({grid})",
+        "n": rows[0]["n"] if rows else None,
         "backend": f"cpu-virtual-8dev on {cores} physical cores",
-        "design": "ownership-partitioned pools + boundary-only "
-                  "psum_scatter (parallel/dist.py)",
+        "design": "ownership-partitioned pools + ragged boundary psum "
+                  "(parallel/dist.py)",
         "caveat": f"virtual devices share one {cores}-core host: "
                   "wall-clock speedup is capped at min(G, cores); "
                   "psum/pool bytes per device are architecture "
@@ -122,6 +145,7 @@ def main():
     with open(out_path, "w") as f:
         json.dump(art, f, indent=1)
     print("wrote", out_path)
+
 
 
 if __name__ == "__main__":

@@ -212,3 +212,27 @@ def test_trisolve_tiers_agree():
     x2 = TriangularSolver(l, SolverConfig(dtype="float64",
                                           tier="supernodal")).solve(b)
     assert np.max(np.abs(x1 - x2)) < 1e-10
+
+
+def test_slack_placement_valid_and_reduces_fin_padding():
+    """Opt-in slack level placement (InspectionLevel_06.h:118 analog):
+    plans stay valid (verify_plan), factors stay correct, and padded
+    finalize lanes do not increase."""
+    from parsy_bench_tpu.symbolic.verify import verify_plan
+
+    a = generate.SUITE["ecology_small"]()
+    pads = {}
+    for slack in (False, True):
+        cfg = SolverConfig(dtype="float64", tier="supernodal",
+                           ordering="amd", slack_placement=slack)
+        s = CholeskySolver(a, cfg)
+        verify_plan(s.plan)
+        s.factorize()
+        assert s.factor_residual() < 1e-10
+        pad = true = 0
+        for seg in s.plan.segments:
+            for b in seg.fin:
+                pad += b.P * seg.nsteps
+                true += int(b.cnt.sum())
+        pads[slack] = pad - true
+    assert pads[True] <= pads[False]
