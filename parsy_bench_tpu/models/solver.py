@@ -16,8 +16,7 @@ from parsy_bench_tpu.ops.simplicial import SimplicialExecutor
 from parsy_bench_tpu.symbolic.etree import etree, postorder
 from parsy_bench_tpu.symbolic.colcounts import col_counts, symbolic_pattern
 from parsy_bench_tpu.symbolic.ordering import compute_ordering
-from parsy_bench_tpu.symbolic.plan import (cholesky_plan, plan_from_pattern,
-                                           trisolve_plan)
+from parsy_bench_tpu.symbolic.plan import plan_from_pattern
 
 
 class NotPositiveDefiniteError(RuntimeError):
