@@ -13,10 +13,17 @@ whatever backend JAX selects (the axon TPU in production):
 * MXU rate + lane floor — batched (P, m, k) einsums across P;
 * chain-op floor     — a chain of dependent tiny kernels in one program.
 
-Each measurement repeats the op inside ONE device program (fori_loop
-with a fold-proof dependency) so the dispatch floor is amortized, and
-reports medians.  Prints one JSON document; transfer the numbers into
-ChipModel when they shift.
+Each measurement repeats the op inside ONE device program (fori_loop)
+so the dispatch floor is amortized, and reports medians.  Prints one
+JSON document.
+
+CAVEAT (measured r4): in-program loops let XLA fuse/hoist aggressively
+even with sum-consumed results — this tool reports upper-bound fused
+rates (e.g. "stream" above HBM bandwidth, 49 ns chain ops vs the 5-8 us
+the executor pays across kernels), NOT the executor-context floors that
+ChipModel encodes.  Treat its output as the optimistic ceiling; floors
+must be calibrated against profile_segments on real plans before
+updating ChipModel constants.
 
     python scripts/calibrate.py [--quick]
 """
@@ -64,7 +71,9 @@ def main():
 
         def body(i, acc):
             g = p8[(idx // 8) + (i & 1)]
-            return acc + g[0, 0]
+            # consume EVERY gathered element: reducing only a corner lets
+            # XLA dead-code the bulk of the gather
+            return acc + g.sum()
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
     t = _median_time(lambda: jax.jit(gather_loop)(pool, idx))
     out["gather_rows_per_s"] = nidx * 8 * reps / t
@@ -72,7 +81,7 @@ def main():
     def scatter_loop(pool, idx):
         def body(i, p):
             return p.at[idx + (i & 1)].add(1.0)
-        return jax.lax.fori_loop(0, reps, body, pool)[0, 0]
+        return jax.lax.fori_loop(0, reps, body, pool).sum()
     t = _median_time(lambda: jax.jit(scatter_loop)(pool, idx))
     out["scatter_rows_per_s"] = nidx * reps / t
 
@@ -83,7 +92,7 @@ def main():
         def body(i, p):
             w = jax.lax.dynamic_slice(p, (i & 7, 0), (W, c))
             return jax.lax.dynamic_update_slice(p, w + 1.0, (i & 7, 0))
-        return jax.lax.fori_loop(0, reps, body, pool)[0, 0]
+        return jax.lax.fori_loop(0, reps, body, pool).sum()
     t = _median_time(lambda: jax.jit(stream_loop)(pool))
     out["stream_bytes_per_s"] = 2.0 * W * c * 4 * reps / t
 
@@ -96,7 +105,7 @@ def main():
             def body(i, acc):
                 C = jnp.einsum("pmk,pqk->pmq", A + acc, B,
                                preferred_element_type=jnp.float32)
-                return C[0, 0, 0] * 0
+                return C.sum() * jnp.float32(1e-30)
             return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
         t = _median_time(lambda: jax.jit(mm_loop)(A, B)) / reps
         if tag == "mxu":
