@@ -91,6 +91,11 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir",
                       "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # AOT executable cache (utils/aotcache.py): warm starts deserialize
+    # the compiled PJRT executables directly, skipping Python tracing,
+    # lowering AND compile-cache key hashing (the measured 50+ s of the
+    # round-4 72 s "warm" compile).
+    aot_dir = "/root/repo/.aot_cache"
     from parsy_bench_tpu.core import generate
     from parsy_bench_tpu.config import SolverConfig
     from parsy_bench_tpu.models import CholeskySolver
@@ -118,7 +123,8 @@ def main() -> None:
     group = 16
     try:
         solver.lx = jax.block_until_ready(
-            solver.executor.factorize_segmented(data, group=group))
+            solver.executor.factorize_segmented(data, group=group,
+                                                cache_dir=aot_dir))
     except jax.errors.JaxRuntimeError as e:
         # the remote compile helper OOM/SIGKILLs on too-large programs;
         # anything else (shape bugs, NaN asserts) must fail the bench
@@ -129,13 +135,15 @@ def main() -> None:
         group = 8
         t0 = time.perf_counter()  # timer restarts: only the good compile
         solver.lx = jax.block_until_ready(
-            solver.executor.factorize_segmented(data, group=group))
+            solver.executor.factorize_segmented(data, group=group,
+                                                cache_dir=aot_dir))
     compile_s = time.perf_counter() - t0
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         for _i in range(_ITERS):
-            lx = solver.executor.factorize_segmented(data, group=group)
+            lx = solver.executor.factorize_segmented(data, group=group,
+                                                     cache_dir=aot_dir)
         jax.block_until_ready(lx)
         times.append((time.perf_counter() - t0) / _ITERS)
     median = sorted(times)[len(times) // 2]
@@ -146,12 +154,14 @@ def main() -> None:
     lmat = solver.factor_csc().to_scipy()
     b = np.asarray(lmat @ np.ones(a.n), dtype=np.float32)
     x_warm = jax.block_until_ready(
-        solver.executor.solve_loop(solver.lx, b, _ITERS))
+        solver.executor.solve_loop(solver.lx, b, _ITERS,
+                                   cache_dir=aot_dir))
     stimes = []
     for _ in range(3):
         t0 = time.perf_counter()
         jax.block_until_ready(
-            solver.executor.solve_loop(solver.lx, b, _ITERS))
+            solver.executor.solve_loop(solver.lx, b, _ITERS,
+                                       cache_dir=aot_dir))
         stimes.append((time.perf_counter() - t0) / _ITERS)
     smedian = sorted(stimes)[len(stimes) // 2]
     nnzl = int(solver.cc.sum())   # nnz(L) without materializing the pattern

@@ -86,10 +86,14 @@ def write_ordering(path: str, perm: np.ndarray) -> None:
 # --------------------------------------------------------------------------
 
 #: Bump whenever the pickled plan/layout schema changes shape (e.g. the
-#: round-3 ClassLayout lpat/nnz_l additions): loading an artifact written
-#: under another version fails with a clear re-analyze message instead of
-#: an opaque attribute error deep inside the executor.
-ARTIFACT_FORMAT = 3
+#: round-5 _LazyPattern structure-only slim-down): loading an artifact
+#: written under an INCOMPATIBLE version fails with a clear re-analyze
+#: message instead of an opaque attribute error deep inside the executor.
+ARTIFACT_FORMAT = 4
+
+#: Formats this build can still read.  Schema changes that stay
+#: load-compatible extend this set instead of orphaning old artifacts.
+COMPATIBLE_FORMATS = frozenset({ARTIFACT_FORMAT})
 
 
 def save_artifact(path: str, obj, meta: Optional[dict] = None) -> None:
@@ -106,9 +110,9 @@ def load_artifact(path: str):
     with open(path, "rb") as f:
         payload = pickle.load(f)
     fmt = payload["meta"].get("format", 0)
-    if fmt != ARTIFACT_FORMAT:
+    if fmt not in COMPATIBLE_FORMATS:
         raise ValueError(
             f"analysis artifact {path!r} has format {fmt}, this build reads "
-            f"format {ARTIFACT_FORMAT} — re-run the analysis "
+            f"formats {sorted(COMPATIBLE_FORMATS)} — re-run the analysis "
             f"(CholeskySolver(...).save_analysis) to regenerate it")
     return payload["obj"], payload["meta"]

@@ -121,10 +121,13 @@ class CholeskySolver:
         ``check_spd`` (default): raise :class:`NotPositiveDefiniteError`
         when the factorization encountered a non-positive pivot — the
         dpotrf info != 0 abort of the reference executor
-        (parallel_PB_Cholesky_05.h:206-207).  One device-side reduction;
-        pass False on hot re-factorization loops that gate elsewhere."""
+        (parallel_PB_Cholesky_05.h:206-207).  One fused device-side
+        reduction (a single scalar fetch); it still blocks async dispatch,
+        so pass False on hot re-factorization loops that gate elsewhere
+        (the executor-level loop helpers never check)."""
         data = self.ap.data if a is None else a.permute(self.perm).data
         self.lx = self.executor.factorize(data)
+        self._spd_ok = None
         if check_spd and not self.factor_ok():
             raise NotPositiveDefiniteError(
                 "matrix is not positive definite (non-positive pivot "
@@ -175,12 +178,20 @@ class CholeskySolver:
         """SPD failure detection: the reference aborts when dpotrf reports
         a non-positive pivot (parallel_PB_Cholesky_05.h:206-207); here a
         failed pivot surfaces as NaN in the factor pools, detected with
-        one on-device isfinite reduction (no host transfer of L)."""
+        ONE fused on-device isfinite reduction across all pools (a single
+        scalar fetch, no host transfer of L).  Cached per factorization."""
         if self.lx is None:
             raise RuntimeError("call factorize() first")
-        import jax.numpy as jnp
-        parts = self.lx if isinstance(self.lx, tuple) else (self.lx,)
-        return all(bool(jnp.all(jnp.isfinite(p))) for p in parts)
+        if getattr(self, "_spd_ok", None) is None:
+            import jax
+            import jax.numpy as jnp
+            if not hasattr(CholeskySolver, "_spd_check_j"):
+                CholeskySolver._spd_check_j = jax.jit(
+                    lambda parts: jnp.all(jnp.stack(
+                        [jnp.all(jnp.isfinite(p)) for p in parts])))
+            parts = self.lx if isinstance(self.lx, tuple) else (self.lx,)
+            self._spd_ok = bool(CholeskySolver._spd_check_j(tuple(parts)))
+        return self._spd_ok
 
     def factor_csc(self) -> CSC:
         """The numeric factor L (permuted ordering) as a host CSC."""

@@ -190,12 +190,16 @@ class SupernodalExecutor:
         return segs
 
     # ------------------------------------------------------------- pools
-    def _init_pools(self, a_data):
+    def _init_pools(self, a_data, a_map=None):
+        """Scatter A values into zeroed per-class pools.  ``a_map`` may be
+        passed explicitly (AOT-cached programs take it as an argument so
+        the serialized executable carries no baked-in index constants)."""
+        a_map = self._a_map if a_map is None else a_map
         a_data = a_data.astype(self.dtype)
         pools = []
         for ci, c in enumerate(self.classes):
             r = int(self.plan.nrows[ci])
-            pos, sel = self._a_map[ci]
+            pos, sel = a_map[ci]
             flat = jnp.zeros(r * c, self.dtype).at[pos].add(a_data[sel])
             pools.append(flat.reshape(r, c))
         return pools
@@ -354,16 +358,101 @@ class SupernodalExecutor:
         return self._factorize(jnp.asarray(a_data), self._flat_rep,
                                self._flat_upd)
 
-    def factorize_segmented(self, a_data, group: int = 8):
+    # ----------------------------------------------------- AOT caching
+    def _plan_desc(self) -> tuple:
+        """Canonical description of everything (besides executor source)
+        that shapes the traced FACTORIZE programs — the AOT cache key
+        material.  Table VALUES are runtime arguments and excluded;
+        solve-side structure is separate (:meth:`_solve_desc`) so solve
+        plan changes don't invalidate factorize executables."""
+        segs = []
+        for seg in self.plan.segments:
+            segs.append((
+                seg.nsteps, tuple(seg.wslice),
+                tuple((b.kcls, b.K, b.ccls, b.c, b.Mc, b.Q)
+                      for b in seg.upd),
+                tuple((b.ccls, b.c, b.H, b.P) for b in seg.fin),
+            ))
+        return (tuple(segs), self._seg_meta, self._rep_len, self._upd_len,
+                tuple(int(r) for r in self.plan.nrows),
+                tuple(self.classes), str(self.dtype), self._G, self.plan.n)
+
+    def _factor_src(self) -> str:
+        """Source hash of the factorize-path code (AOT key material)."""
+        from parsy_bench_tpu.ops import dense
+        from parsy_bench_tpu.utils import aotcache
+        C = SupernodalExecutor
+        return aotcache.source_hash(
+            C._unpack, C._init_pools, C._apply_updates, C._finalize,
+            C._step, C.factorize_segmented, dense.masked_spd,
+            dense.cholesky_inverse, dense._chol_panel, dense.nilpotent_inv)
+
+    def _solve_src(self) -> str:
+        """Source hash of the solve-path code (AOT key material)."""
+        from parsy_bench_tpu.ops import dense
+        from parsy_bench_tpu.utils import aotcache
+        C = SupernodalExecutor
+        return aotcache.source_hash(
+            C._unpack, C._solve_lower_fast_impl, C._solve_lower_impl,
+            C._inv_blk, C.solve_loop, dense.nilpotent_inv)
+
+    def _solve_desc(self) -> tuple:
+        """Solve-side AOT key material (on top of :meth:`_plan_desc`)."""
+        segs = []
+        for seg in self.plan.segments:
+            segs.append((
+                None if seg.sslice is None else tuple(seg.sslice),
+                tuple((b.kcls, b.K, b.ccls, b.c, b.Q) for b in seg.supd),
+            ))
+        return (tuple(segs), getattr(self, "_sol_len", 0),
+                getattr(self, "_sol_meta", None),
+                getattr(self, "_bmap_meta", None),
+                tuple(int(r) for r in self.plan.npanels)
+                if self.plan.npanels is not None else None)
+
+    def _pools_sds(self):
+        return tuple(jax.ShapeDtypeStruct((int(self.plan.nrows[ci]), c),
+                                          self.dtype)
+                     for ci, c in enumerate(self.classes))
+
+    def init_pools_cached(self, a_data, cache_dir: str | None):
+        """A-scatter as an AOT-cached program (maps enter as arguments)."""
+        a_arr = jnp.asarray(a_data).astype(self.dtype)
+        if cache_dir is None:
+            return self._init_pools_j(a_arr)
+        if not hasattr(self, "_init_aot"):
+            from parsy_bench_tpu.utils import aotcache
+            sds = [tuple(jax.ShapeDtypeStruct(x.shape, x.dtype)
+                         for x in m) for m in self._a_map]
+            key = aotcache.fingerprint(
+                "init_pools", self._factor_src(), self._plan_desc(),
+                tuple((tuple(x.shape), str(x.dtype))
+                      for m in self._a_map for x in m))
+            jf = jax.jit(lambda a, maps: tuple(self._init_pools(a, maps)))
+            self._init_aot = aotcache.load_or_compile(
+                cache_dir, key,
+                lambda: jf.lower(
+                    jax.ShapeDtypeStruct((self._nnz_a,), self.dtype),
+                    sds).compile())
+        return self._init_aot(a_arr, self._a_map)
+
+    def factorize_segmented(self, a_data, group: int = 8,
+                            cache_dir: str | None = None):
         """Numeric factorization split into one device program per
         ``group`` consecutive segments instead of one monolithic program.
         The monolithic factorize exceeds the remote compiler's memory at
         scale (hundreds of buckets inlined); grouped programs compile in
         bounded memory, and grouping keeps the per-dispatch tunnel
-        overhead (~5 ms each) amortized."""
-        key = ("_grp_fns", group)
+        overhead (~5 ms each) amortized.
+
+        ``cache_dir``: AOT executable cache (utils/aotcache.py) — warm
+        starts deserialize the compiled group programs and skip tracing,
+        lowering and compile-cache key hashing entirely."""
+        key = ("_grp_fns", group, cache_dir)
         if getattr(self, "_grp_key", None) != key:
             nseg = len(self.plan.segments)
+            desc = self._plan_desc() if cache_dir is not None else None
+
             def make(lo, hi):
                 def run(pools, fr, fu):
                     seg_xs = self._unpack(fr, fu)
@@ -375,15 +464,27 @@ class SupernodalExecutor:
                             return self._step(list(pools), seg, u, f,
                                               rlo_t), None
                         pools = jax.lax.scan(step, pools, seg_xs[si])[0]
-                    return pools
+                    return tuple(pools)
                 # donate the incoming pools: each group program rewrites
                 # them in place (buffer reuse halves peak HBM across the
                 # group chain)
-                return jax.jit(run, donate_argnums=0)
+                jf = jax.jit(run, donate_argnums=0)
+                if cache_dir is None:
+                    return jf
+                from parsy_bench_tpu.utils import aotcache
+                k = aotcache.fingerprint("factorize_group",
+                                         self._factor_src(), desc, lo, hi)
+                return aotcache.load_or_compile(
+                    cache_dir, k,
+                    lambda: jf.lower(
+                        self._pools_sds(),
+                        jax.ShapeDtypeStruct((self._rep_len,), jnp.int32),
+                        jax.ShapeDtypeStruct((self._G, self._upd_len),
+                                             jnp.int32)).compile())
             self._grp_fns = [make(lo, min(lo + group, nseg))
                              for lo in range(0, nseg, group)]
             self._grp_key = key
-        pools = tuple(self._init_pools_j(jnp.asarray(a_data)))
+        pools = tuple(self.init_pools_cached(a_data, cache_dir))
         for fn in self._grp_fns:
             pools = tuple(fn(pools, self._flat_rep, self._flat_upd))
         return pools
@@ -419,12 +520,14 @@ class SupernodalExecutor:
         return self._factorize_loop(jnp.asarray(a_data), self._flat_rep,
                                     self._flat_upd, iters)
 
-    def solve_loop(self, pools, b, iters: int):
+    def solve_loop(self, pools, b, iters: int,
+                   cache_dir: str | None = None):
         """Run ``iters`` forward triangular solves inside ONE device
         program (benchmark helper mirroring ``factorize_loop``; reference
         protocol: 5 timed solves, triangularTest02.cpp:195-260).  Returns
         the last x; iterations are chained fold-proof.  Uses the
-        pair-granular fast path when the plan carries its tables."""
+        pair-granular fast path when the plan carries its tables.
+        ``cache_dir``: AOT executable cache (see factorize_segmented)."""
         fast = self._has_fast_solve
 
         def run(pools, b, fr, fs, iters):
@@ -441,9 +544,29 @@ class SupernodalExecutor:
                 (jnp.zeros((), self.dtype),
                  jnp.zeros(self.plan.n, self.dtype)))
             return x
+        fs = self._flat_sol if fast else jnp.zeros(0, jnp.int32)
+        if cache_dir is not None:
+            akey = ("_solve_loop_aot", iters)
+            if getattr(self, "_solve_loop_key", None) != akey:
+                from parsy_bench_tpu.utils import aotcache
+                k = aotcache.fingerprint("solve_loop", self._solve_src(),
+                                         self._plan_desc(),
+                                         self._solve_desc(), fast, iters)
+                jf = jax.jit(run, static_argnums=4)
+                self._solve_loop_aot = aotcache.load_or_compile(
+                    cache_dir, k,
+                    lambda: jf.lower(
+                        self._pools_sds(),
+                        jax.ShapeDtypeStruct((self.plan.n,), self.dtype),
+                        jax.ShapeDtypeStruct((self._rep_len,), jnp.int32),
+                        jax.ShapeDtypeStruct(fs.shape, jnp.int32),
+                        iters).compile())
+                self._solve_loop_key = akey
+            return self._solve_loop_aot(
+                pools, jnp.asarray(b).astype(self.dtype),
+                self._flat_rep, fs)
         if not hasattr(self, "_solve_loop_fn"):
             self._solve_loop_fn = jax.jit(run, static_argnums=4)
-        fs = self._flat_sol if fast else jnp.zeros(0, jnp.int32)
         return self._solve_loop_fn(pools, jnp.asarray(b), self._flat_rep,
                                    fs, iters)
 

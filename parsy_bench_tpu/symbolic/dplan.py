@@ -11,9 +11,11 @@ sharded over the mesh (one slice per device):
   a chunk whose target has the same owner scatters into the local level
   window; a cross-owner chunk scatters into a per-class **boundary send
   buffer** slot addressed (target owner, slot);
-* one ``psum_scatter`` per (class, level step) reduces the send buffers —
-  each device receives just the summed contributions to its OWN boundary
-  rows (Bc rows, not the whole window) — the boundary-only collective
+* one **ragged psum** per (class, level step) reduces the send buffers
+  over a ragged per-receiver layout (measured 1.2-3.9x faster than a
+  receiver-padded psum_scatter: top-separator steps have a single hot
+  receiver); each device then slices its OWN boundary rows (Bc rows, not
+  the whole window) out of the reduced buffer — the boundary-only collective
   that replaces the reference's shared-memory scatter and the round-3
   full-window psum (SURVEY §7E; computeComCost's inter-partition nnz,
   performanceModel.h:194);

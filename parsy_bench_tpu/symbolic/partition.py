@@ -14,8 +14,8 @@ supernode an owning device:
   their heaviest child for locality unless that device is overloaded.
 
 Update pairs whose source and target owners differ are the *boundary*;
-the distributed executor communicates only those rows (psum_scatter of
-per-class boundary buffers) instead of whole level windows — SURVEY §7E.
+the distributed executor communicates only those rows (one ragged psum
+of per-class boundary buffers) instead of whole level windows — SURVEY §7E.
 """
 from __future__ import annotations
 

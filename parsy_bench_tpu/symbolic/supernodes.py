@@ -306,14 +306,22 @@ def _height_class(h: np.ndarray, base: np.ndarray) -> np.ndarray:
 class _LazyPattern:
     """Picklable thunk producing the simplicial L pattern on demand, so
     inspector artifacts stay self-contained without materializing the
-    nnz(L)-sized pattern (verification paths only)."""
+    nnz(L)-sized pattern (verification paths only).  Only the sparsity
+    STRUCTURE of A is kept — symbolic_pattern never reads values, and
+    embedding them would bake a stale copy of the numeric data into every
+    saved analysis artifact."""
 
     def __init__(self, a: CSC, parent: np.ndarray):
-        self.a, self.parent = a, parent
+        self.n = a.n
+        self.indptr = a.indptr
+        self.indices = a.indices
+        self.parent = parent
 
     def __call__(self) -> sp.csc_matrix:
         from parsy_bench_tpu.symbolic.colcounts import symbolic_pattern
-        return symbolic_pattern(self.a, self.parent)
+        a = CSC(self.n, self.indptr, self.indices,
+                np.ones(len(self.indices), dtype=np.int8))
+        return symbolic_pattern(a, self.parent)
 
 
 def supernodal_rows_from_etree(a: CSC, parent: np.ndarray,

@@ -3,7 +3,7 @@
 next-step #1).
 
 Runs the OWNERSHIP-PARTITIONED distributed factorize + solve
-(parallel/dist.py: per-device pools, boundary-only psum_scatter) at
+(parallel/dist.py: per-device pools, boundary-only ragged psum) at
 G in {1,2,4,8} on the virtual CPU mesh and reports wall times, the
 per-device collective payload (boundary slots — the computeComCost
 analog, performanceModel.h:194), per-device pool memory, and scaling

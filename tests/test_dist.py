@@ -40,7 +40,7 @@ def test_partitioner_balances_and_covers():
 
 @pytest.mark.parametrize("G", [2, 4, 8])
 def test_dist_factor_matches_single_device(oracle, G):
-    """Per-device pools + boundary-only psum_scatter must reproduce the
+    """Per-device pools + boundary-only ragged psum must reproduce the
     single-device factor values (reference bar: elementwise 1e-3,
     choleskyTest01.cpp:538; we hold f32 roundoff)."""
     a, cfg, s, lref, lpat = oracle
@@ -85,14 +85,25 @@ def test_dist_solves(oracle):
     assert np.max(np.abs(1.0 - xs)) < 1e-3
 
 
-def test_boundary_volume_smaller_than_window(oracle):
-    """The architecture claim: the per-step collective payload (boundary
-    slots) must be well below the full per-level window the round-3
-    design psum'd."""
-    a, cfg, s, lref, lpat = oracle
+def test_boundary_volume_smaller_than_window():
+    """The architecture claim: the total collective payload (ragged
+    boundary rows, summed over every (class, step)) must be WELL below
+    what the round-3 design moved — a full per-level window psum every
+    step.  This fails if boundary slots regress to window scale.
+
+    Uses the grid-class matrix: on tiny FEM graphs (bcsstk14ish) the top
+    of the tree is nearly all separator at G=4, so the separation only
+    shows at moderate size (measured ratio 0.095 here; the round-3
+    design is 1.0 by definition)."""
+    a = generate.SUITE["ecology_small"]()
+    cfg = SolverConfig(dtype="float32", tier="supernodal")
+    s = CholeskySolver(a, cfg)
     plan = build_dist_plan(s.ap, s.parent, s.cc, 4, cfg)
+    boundary = 0
+    window_r3 = 0
     for seg in plan.segments:
         for ci, c in enumerate(plan.classes):
-            window_rows = seg.wslice[ci]
-            # boundary slots per receiving device never exceed the window
-            assert seg.bc[ci] <= max(window_rows, 1)
+            boundary += seg.nsteps * seg.btot[ci] * c
+            window_r3 += seg.nsteps * seg.wslice[ci] * c
+    assert window_r3 > 0
+    assert boundary < 0.3 * window_r3, (boundary, window_r3)

@@ -236,3 +236,37 @@ def test_slack_placement_valid_and_reduces_fin_padding():
                 true += int(b.cnt.sum())
         pads[slack] = pad - true
     assert pads[True] <= pads[False]
+
+
+def test_aot_cache_roundtrip(tmp_path):
+    """AOT executable cache (utils/aotcache.py): a cold run populates the
+    cache, a fresh executor warm-loads the serialized executables and
+    reproduces the factor and solve bit-for-bit (the reference's
+    cacheable-symbolic contract, common/Util.h:187, extended to the
+    compiled programs — the compile IS symbolic-phase work here)."""
+    from parsy_bench_tpu.core.csc import rhs_init_trisolve
+
+    cache = str(tmp_path / "aot")
+    a = generate.SUITE["bcsstk14ish"]()
+    cfg = SolverConfig(dtype="float32", tier="supernodal")
+    s1 = CholeskySolver(a, cfg)
+    data = np.asarray(s1.ap.data, dtype=np.float32)
+    lx1 = s1.executor.factorize_segmented(data, group=4, cache_dir=cache)
+    v1 = np.asarray(s1.executor.factor_values(lx1))
+    import os
+    nfiles = len(os.listdir(cache))
+    assert nfiles >= 2  # init_pools + >=1 group program
+
+    s2 = CholeskySolver(a, cfg)       # fresh executor, warm cache
+    lx2 = s2.executor.factorize_segmented(data, group=4, cache_dir=cache)
+    v2 = np.asarray(s2.executor.factor_values(lx2))
+    assert len(os.listdir(cache)) == nfiles  # pure hits, nothing rebuilt
+    assert np.array_equal(v1, v2)
+
+    s1.lx = lx1
+    lmat = s1.factor_csc().to_scipy()
+    b = np.asarray(lmat @ np.ones(a.n), dtype=np.float32)
+    x1 = np.asarray(s1.executor.solve_loop(lx1, b, 2, cache_dir=cache))
+    x2 = np.asarray(s2.executor.solve_loop(lx2, b, 2, cache_dir=cache))
+    assert np.array_equal(x1, x2)
+    assert np.max(np.abs(x1 - 1.0)) < 1e-3   # testTriangular bar
