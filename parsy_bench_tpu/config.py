@@ -60,6 +60,33 @@ class SolverConfig:
     #: chip at n=1e5 (update-bucket peaks grow when sources move later,
     #: RESULTS_r04) — off by default, kept as a measured knob.
     slack_placement: bool = False
+    #: dense trailing-solve block ("top"): the thin top levels of the
+    #: etree (the root-separator panel chains — 42 of 64 levels at n=1e5
+    #: hold <= 2 panels each) are collapsed into ONE dense
+    #: triangular-inverse GEMV per solve, the MXU-native form of the
+    #: reference's peeled last level (H2LeveledBlockedLsolve_Peeled,
+    #: Triangular_BCSC.h:238: last level serial with multithreaded BLAS).
+    #: Max columns absorbed (Tinv memory = cols^2 * 4 bytes); 0 disables.
+    #: Measured on-chip at n=110k (r5): NEUTRAL once the merged per-class
+    #: diagonal solve landed (21.9 ms off vs 22.4 ms at 4096 — the
+    #: absorbed thin levels were already cheap, and the single-step
+    #: mega-buckets pay the same update traffic the levels did); off by
+    #: default at bench scale, revisited per-size by scripts/large_run.py.
+    dense_top_cols: int = 0
+    #: absorb a level range into the dense top only while its levels are
+    #: thin (<= this many panels per level) — fat bottom levels solve
+    #: faster leveled than dense.
+    dense_top_thin: int = 8
+    #: blocked-trisolve aligned-operand pool budget (MB): solve_prep
+    #: precomputes each update pair's column-aligned overlap block
+    #: G = S @ B_raw once per factorization, so every solve step is one
+    #: contiguous slab read + one batched (c,K)@(K,) einsum + one row
+    #: scatter per bucket.  Measured on-chip at n=110k (r5): 2x SLOWER
+    #: than the on-the-fly one-hot alignment (42.5 vs 21.9 ms) — XLA
+    #: lowers the slab-fed batched matvec worse than the fused
+    #: gather+matmul chain it replaces — so 0 (disabled) by default;
+    #: kept as a measured knob.  0 = always align on the fly.
+    solve_gpool_mb: int = 0
     #: general-DAG trisolve schedule: "wavefront" (one batched step per
     #: level, H1), "coarsened" (dense W-column window steps, the DAG-LBC
     #: replacement — symbolic/dagplan.py), or "auto" (cost-model pick).

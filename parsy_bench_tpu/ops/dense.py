@@ -188,3 +188,29 @@ def tri_lower_solve_t(L, b):
 def tri_inverse(L):
     """Linv for batched lower-triangular L (P, c, c)."""
     return nilpotent_inv(L)
+
+
+def dense_tri_inv(T, base: int = 256):
+    """Explicit inverse of ONE (t, t) lower-triangular matrix by blocked
+    bisection — inv([[A,0],[B,C]]) = [[Ai,0],[-Ci B Ai, Ci]] — with the
+    Neumann-product inverse at the base.  All MXU matmuls, O(t^3/3) flops,
+    used once per factorization to prepare the dense-top solve block (the
+    role dtrsm-on-the-peeled-level plays in the reference,
+    Triangular_BCSC.h:238); every solve then costs one (t, t) GEMV."""
+    t = T.shape[0]
+    dt = T.dtype
+    if t <= base:
+        return nilpotent_inv(T[None])[0]
+    h = max(((t // 2) + 127) // 128 * 128, base)
+    if h >= t:
+        h = t // 2
+    Ai = dense_tri_inv(T[:h, :h], base)
+    Ci = dense_tri_inv(T[h:, h:], base)
+    BA = -jnp.dot(Ci, jnp.dot(T[h:, :h], Ai,
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=dt),
+                  precision=jax.lax.Precision.HIGHEST,
+                  preferred_element_type=dt)
+    top = jnp.concatenate([Ai, jnp.zeros((h, t - h), dt)], axis=1)
+    bot = jnp.concatenate([BA, Ci], axis=1)
+    return jnp.concatenate([top, bot], axis=0)

@@ -125,6 +125,9 @@ class SupernodalExecutor:
                 return (off, tuple(arr.shape))
 
             self._bmap_meta = [_pack_sol(m) for m in plan.bmap]
+            self._slotw_meta = ([_pack_sol(w) for w in plan.slotw]
+                                if getattr(plan, "slotw", None) is not None
+                                else None)
             self._sol_meta = []
             for seg in plan.segments:
                 supd = [dict(brow=_pack_sol(b.brow),
@@ -134,11 +137,42 @@ class SupernodalExecutor:
                         for b in seg.supd]
                 soff = [_pack_sol(sf) for sf in seg.soff]
                 srlo = _pack_sol(seg.srlo.T)        # (T, ncls)
-                self._sol_meta.append((supd, soff, srlo))
+                strue = (_pack_sol(seg.strue.T)     # (T, ncls)
+                         if getattr(seg, "strue", None) is not None
+                         else None)
+                self._sol_meta.append((supd, soff, srlo, strue))
+            # dense-top tables (TopSolve) ride the same flat buffer
+            self._top = getattr(plan, "top", None)
+            if self._top is not None:
+                self._top_meta = dict(
+                    gather=[_pack_sol(g) for g in self._top.gather],
+                    xmap=[_pack_sol(m) for m in self._top.xmap],
+                    supd=[dict(brow=_pack_sol(b.brow),
+                               xrow=_pack_sol(b.xrow),
+                               colq=_pack_sol(b.colq),
+                               dst=_pack_sol(b.dst))
+                          for b in self._top.supd])
             self._flat_sol = jnp.asarray(
                 np.concatenate(sol_pieces) if sol_pieces
                 else np.zeros(0, dtype=np.int32))
+            # aligned-operand pool (G = S @ B_raw per pair, see
+            # solve_prep): enabled when it fits the plan's budget
+            nseg_s = (plan.solve_nseg if plan.solve_nseg is not None
+                      else len(plan.segments))
+            gbytes = 0
+            for seg in plan.segments[:nseg_s]:
+                for b in seg.supd:
+                    gbytes += seg.nsteps * b.brow.shape[1] * b.c * b.K * 4
+            if self._top is not None:
+                for b in self._top.supd:
+                    gbytes += b.brow.shape[1] * b.c * b.K * 4
+            self._gpool_bytes = gbytes
+            self._gpool_enabled = (
+                gbytes <= getattr(plan, "gpool_mb", 2048) * 2**20)
             self._solve_lower_fast = jax.jit(self._solve_lower_fast_impl)
+        else:
+            self._top = None
+            self._gpool_enabled = False
         self._factorize = jax.jit(self._factorize_impl)
         # jitted once here: a fresh jax.jit(self._init_pools) per call would
         # retrace every time (bound-method identity differs per access)
@@ -404,9 +438,18 @@ class SupernodalExecutor:
                 None if seg.sslice is None else tuple(seg.sslice),
                 tuple((b.kcls, b.K, b.ccls, b.c, b.Q) for b in seg.supd),
             ))
+        top = None
+        if self._top is not None:
+            top = (self._top.t, self._top.lev0,
+                   tuple((b.kcls, b.K, b.ccls, b.c, b.Q)
+                         for b in self._top.supd),
+                   self._top_meta)
         return (tuple(segs), getattr(self, "_sol_len", 0),
                 getattr(self, "_sol_meta", None),
                 getattr(self, "_bmap_meta", None),
+                getattr(self, "_slotw_meta", None),
+                getattr(self, "_gpool_enabled", False),
+                getattr(self.plan, "solve_nseg", None), top,
                 tuple(int(r) for r in self.plan.npanels)
                 if self.plan.npanels is not None else None)
 
@@ -530,12 +573,13 @@ class SupernodalExecutor:
         ``cache_dir``: AOT executable cache (see factorize_segmented)."""
         fast = self._has_fast_solve
 
-        def run(pools, b, fr, fs, iters):
+        def run(pools, b, fr, fs, tv, lv, gpv, iters):
             def body(i, carry):
                 acc, _ = carry
                 bi = jnp.where(acc == acc, b, acc)
                 if fast:
-                    x = self._solve_lower_fast_impl(pools, bi, fr, fs)
+                    x = self._solve_lower_fast_impl(pools, bi, fr, fs,
+                                                    tv, lv, gpv)
                 else:
                     x = self._solve_lower_impl(pools, bi, fr)
                 return x[0], x
@@ -545,6 +589,12 @@ class SupernodalExecutor:
                  jnp.zeros(self.plan.n, self.dtype)))
             return x
         fs = self._flat_sol if fast else jnp.zeros(0, jnp.int32)
+        if fast:
+            tv, lv, gpv = self.solve_prep(pools)
+        else:
+            tv = jnp.zeros((0, 0), self.dtype)
+            lv = ()
+            gpv = ([], [])
         if cache_dir is not None:
             akey = ("_solve_loop_aot", iters)
             if getattr(self, "_solve_loop_key", None) != akey:
@@ -552,7 +602,10 @@ class SupernodalExecutor:
                 k = aotcache.fingerprint("solve_loop", self._solve_src(),
                                          self._plan_desc(),
                                          self._solve_desc(), fast, iters)
-                jf = jax.jit(run, static_argnums=4)
+                sds = lambda tree: jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                    tree)
+                jf = jax.jit(run, static_argnums=7)
                 self._solve_loop_aot = aotcache.load_or_compile(
                     cache_dir, k,
                     lambda: jf.lower(
@@ -560,15 +613,16 @@ class SupernodalExecutor:
                         jax.ShapeDtypeStruct((self.plan.n,), self.dtype),
                         jax.ShapeDtypeStruct((self._rep_len,), jnp.int32),
                         jax.ShapeDtypeStruct(fs.shape, jnp.int32),
-                        iters).compile())
+                        jax.ShapeDtypeStruct(tv.shape, self.dtype),
+                        sds(lv), sds(gpv), iters).compile())
                 self._solve_loop_key = akey
             return self._solve_loop_aot(
                 pools, jnp.asarray(b).astype(self.dtype),
-                self._flat_rep, fs)
+                self._flat_rep, fs, tv, lv, gpv)
         if not hasattr(self, "_solve_loop_fn"):
-            self._solve_loop_fn = jax.jit(run, static_argnums=4)
+            self._solve_loop_fn = jax.jit(run, static_argnums=7)
         return self._solve_loop_fn(pools, jnp.asarray(b), self._flat_rep,
-                                   fs, iters)
+                                   fs, tv, lv, gpv, iters)
 
     # ------------------------------------------------------------ solves
     def _diag_tri(self, blk, w, c):
@@ -741,7 +795,8 @@ class SupernodalExecutor:
             x, _ = jax.lax.scan(step, x, (fin_xs, rlo_all), reverse=True)
         return x[:n]
 
-    def _solve_lower_fast_impl(self, pools, b_vec, flat_rep, flat_sol):
+    def _solve_lower_fast_impl(self, pools, b_vec, flat_rep, flat_sol,
+                               tinv, linv, gp):
         """Forward substitution with the RHS in PANEL-COLUMN layout
         (xb pools: one c-wide row per panel holding the b/x values of its
         columns).  Per level step each update pair contributes ONE
@@ -750,7 +805,12 @@ class SupernodalExecutor:
         row — the index count drops from sum(panel heights) to the pair
         count (~6x fewer at n=1e5), which is the measured floor of the
         blocked solve.  Mirrors the factorize delta-window discipline
-        over panel SLOTS (SolveUpdBucket, splan.py)."""
+        over panel SLOTS (SolveUpdBucket, splan.py).
+
+        When the plan carries a dense top (splan.TopSolve), the scan
+        covers only segments [0, solve_nseg); the thin top levels finish
+        as a few single-step batched update einsums plus one
+        ``tinv @ rhs`` GEMV (``tinv`` from :meth:`top_inverse`)."""
         n = self.plan.n
         classes = self.classes
 
@@ -770,87 +830,279 @@ class SupernodalExecutor:
                       .reshape(r, c))
         pools8 = [p.reshape(-1, 8 * c)
                   for p, c in zip(pools, classes)]
-        fin_rep = self._unpack(flat_rep)
-        for si, seg in enumerate(self.plan.segments):
-            _, fin_xs, rlo_all = fin_rep[si]
-            supd_m, soff_m, srlo_m = self._sol_meta[si]
+        slotw = [vs(m) for m in self._slotw_meta]
+        nseg_s = (self.plan.solve_nseg
+                  if getattr(self.plan, "solve_nseg", None) is not None
+                  else len(self.plan.segments))
+        use_gp = self._gpool_enabled
+        for si in range(nseg_s):
+            seg = self.plan.segments[si]
+            supd_m, _, srlo_m, strue_m = self._sol_meta[si]
             supd = [dict((k, vs(mm)) for k, mm in m.items())
                     for m in supd_m]
-            soffs = [vs(m) for m in soff_m]
             srlo = vs(srlo_m)
+            strue = vs(strue_m)
+            gseg = gp[0][si] if use_gp else [
+                jnp.zeros((seg.nsteps, 0), self.dtype) for _ in seg.supd]
+            has_cls = [any(fb.ccls == ci for fb in seg.fin)
+                       for ci in range(len(classes))]
 
-            def step(xb, xs, seg=seg):
-                f_xs, rlo_t, su_xs, soff_t, srlo_t = xs
+            def step(xb, xs, seg=seg, has_cls=has_cls):
+                su_xs, srlo_t, strue_t, g_xs = xs
                 wins = [jax.lax.dynamic_slice(
                     xb[ci], (srlo_t[ci], jnp.int32(0)),
                     (seg.sslice[ci], c))
                     for ci, c in enumerate(classes)]
                 deltas = [jnp.zeros((seg.sslice[ci] + 1, c), self.dtype)
                           for ci, c in enumerate(classes)]
-                for b, sx in zip(seg.supd, su_xs):
-                    Braw = pools8[b.kcls][
-                        (sx["brow"] // 8)[:, None] + _iota(b.Q // 8)
-                    ].reshape(-1, b.Q, b.K)
+                for b, sx, gb in zip(seg.supd, su_xs, g_xs):
                     xsrc = xb[b.kcls][sx["xrow"]]         # (P, K)
-                    y = jnp.einsum("pqk,pk->pq", Braw, xsrc,
-                                   precision=jax.lax.Precision.HIGHEST,
-                                   preferred_element_type=self.dtype)
-                    S = (_iota(b.c)[None, :, None]
-                         == sx["colq"][:, None, :]).astype(self.dtype)
-                    C = jnp.einsum("pq,pcq->pc", y, S,
-                                   precision=jax.lax.Precision.HIGHEST,
-                                   preferred_element_type=self.dtype)
+                    if use_gp:
+                        # precomputed aligned operand: slab + einsum
+                        Gm = gb.reshape(-1, b.c, b.K)
+                        C = jnp.einsum(
+                            "pck,pk->pc", Gm, xsrc,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=self.dtype)
+                    else:
+                        Braw = pools8[b.kcls][
+                            (sx["brow"] // 8)[:, None] + _iota(b.Q // 8)
+                        ].reshape(-1, b.Q, b.K)
+                        y = jnp.einsum(
+                            "pqk,pk->pq", Braw, xsrc,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=self.dtype)
+                        S = (_iota(b.c)[None, :, None]
+                             == sx["colq"][:, None, :]).astype(self.dtype)
+                        C = jnp.einsum(
+                            "pq,pcq->pc", y, S,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=self.dtype)
                     deltas[b.ccls] = deltas[b.ccls].at[sx["dst"]].add(C)
                 wins = [w - d[:seg.sslice[ci]]
                         for ci, (w, d) in enumerate(zip(wins, deltas))]
-                # diagonal solves per finalize bucket (panel slots are a
-                # contiguous run within the slot window)
-                fi = 0
-                xdel = [jnp.zeros_like(w) for w in wins]
-                for fb, fx in zip(seg.fin, f_xs):
-                    c = fb.c
-                    blk = self._panel_blk(pools, fb, fx, rlo_t)
-                    Linv = self._inv_blk(blk, fx["w"], c)
-                    so = soff_t[fi]
-                    fi += 1
-                    rhs = jax.lax.dynamic_slice(
-                        wins[fb.ccls], (so, jnp.int32(0)), (fb.P, c))
-                    colv = (_iota(c)[None, :]
-                            < fx["w"][:, None]).astype(self.dtype)
+                # merged per-class diagonal solve: the level's slots are
+                # ONE contiguous run [0, strue) of the slot window, and
+                # the slot-ordered Linv pool makes the whole step one
+                # contiguous slice + one batched einsum per class (the
+                # per-(class, height)-bucket chains this replaces were
+                # the measured op-count floor of the blocked solve)
+                for ci, c in enumerate(classes):
+                    Sw = seg.sslice[ci]
+                    if Sw == 0 or not has_cls[ci]:
+                        continue
+                    Lw = jax.lax.dynamic_slice(
+                        linv[ci], (srlo_t[ci], jnp.int32(0), jnp.int32(0)),
+                        (Sw, c, c))
+                    wv = jax.lax.dynamic_slice(
+                        slotw[ci], (srlo_t[ci],), (Sw,))
+                    colv = (_iota(c)[None, :] < wv[:, None]).astype(
+                        self.dtype)
                     xs_ = jnp.einsum(
-                        "pij,pj->pi", Linv, rhs * colv,
+                        "pij,pj->pi", Lw, wins[ci] * colv,
                         precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=self.dtype) * colv
-                    diff = (xs_ - rhs) * colv
-                    xdel[fb.ccls] = jax.lax.dynamic_update_slice(
-                        xdel[fb.ccls],
-                        jax.lax.dynamic_slice(
-                            xdel[fb.ccls], (so, jnp.int32(0)),
-                            (fb.P, c)) + diff,
-                        (so, jnp.int32(0)))
-                wins = [w + d for w, d in zip(wins, xdel)]
+                    rowv = _iota(Sw) < strue_t[ci]
+                    wins[ci] = jnp.where(rowv[:, None], xs_, wins[ci])
                 xb = [jax.lax.dynamic_update_slice(
                     xb[ci], wins[ci], (srlo_t[ci], jnp.int32(0)))
                     for ci in range(len(classes))]
                 return xb, None
-            soff_stack = soffs if soffs else []
-            xb, _ = jax.lax.scan(
-                step, xb,
-                (fin_xs, rlo_all, supd,
-                 jnp.stack(soff_stack, 1) if soff_stack
-                 else jnp.zeros((seg.nsteps, 0), jnp.int32),
-                 srlo))
+            xb, _ = jax.lax.scan(step, xb, (supd, srlo, strue, gseg))
+        # ---- dense top: batched bottom->top updates + one GEMV --------
+        if self._top is not None:
+            t = self._top.t
+            for bi_t, (b, m) in enumerate(zip(self._top.supd,
+                                              self._top_meta["supd"])):
+                sx = {k: vs(mm) for k, mm in m.items()}
+                xsrc = xb[b.kcls][sx["xrow"][0]]           # (P, K)
+                if use_gp:
+                    Gm = gp[1][bi_t].reshape(-1, b.c, b.K)
+                    C = jnp.einsum("pck,pk->pc", Gm, xsrc,
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=self.dtype)
+                else:
+                    Braw = pools8[b.kcls][
+                        (sx["brow"][0] // 8)[:, None] + _iota(b.Q // 8)
+                    ].reshape(-1, b.Q, b.K)
+                    y = jnp.einsum("pqk,pk->pq", Braw, xsrc,
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=self.dtype)
+                    S = (_iota(b.c)[None, :, None]
+                         == sx["colq"][0][:, None, :]).astype(self.dtype)
+                    C = jnp.einsum("pq,pcq->pc", y, S,
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=self.dtype)
+                xb[b.ccls] = xb[b.ccls].at[sx["dst"][0]].add(-C)
+            rhs = jnp.zeros(t, self.dtype)
+            for ci in range(self.ncls):
+                m = vs(self._top_meta["xmap"][ci])
+                rhs = rhs.at[m[1]].set(xb[ci].reshape(-1)[m[0]])
+            xt = jnp.einsum("ij,j->i", tinv, rhs,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=self.dtype)
+            for ci in range(self.ncls):
+                m = vs(self._top_meta["xmap"][ci])
+                xb[ci] = xb[ci].reshape(-1).at[m[0]].set(
+                    xt[m[1]]).reshape(xb[ci].shape)
         out = jnp.zeros(n, self.dtype)
         for ci in range(self.ncls):
             m = vs(self._bmap_meta[ci])
             out = out.at[m[1]].set(xb[ci].reshape(-1)[m[0]])
         return out
 
+    # ------------------------------------------------ solve preparation
+    def _linv_pools_impl(self, pools, flat_rep, flat_sol):
+        """Slot-ordered per-class pools of diag-block inverses, built
+        once per factorization: linv[ci][slot] = Linv of the panel at
+        that slot.  Makes the whole per-step diagonal solve ONE
+        contiguous slice + ONE batched einsum per class (see
+        _solve_lower_fast_impl); the reconstruction chains (_inv_blk)
+        this hoists out of the scan were the solve's op-count floor."""
+        def vs(meta):
+            off, shape = meta
+            return jax.lax.slice_in_dim(
+                flat_sol, off, off + int(np.prod(shape)),
+                axis=0).reshape(shape)
+        linv = [jnp.zeros((int(self.plan.npanels[ci]), c, c), self.dtype)
+                for ci, c in enumerate(self.classes)]
+        fin_rep = self._unpack(flat_rep)
+        for si, seg in enumerate(self.plan.segments):
+            _, fin_xs, rlo_all = fin_rep[si]
+            _, soff_m, srlo_m, _ = self._sol_meta[si]
+            soffs = [vs(m) for m in soff_m]
+            srlo = vs(srlo_m)
+
+            def step(linv, xs, seg=seg):
+                f_xs, rlo_t, soff_t, srlo_t = xs
+                fi = 0
+                for fb, fx in zip(seg.fin, f_xs):
+                    c = fb.c
+                    blk = self._panel_blk(pools, fb, fx, rlo_t)
+                    Li = self._inv_blk(blk, fx["w"], c)   # pad lanes -> 0
+                    so = srlo_t[fb.ccls] + soff_t[fi]
+                    fi += 1
+                    cur = jax.lax.dynamic_slice(
+                        linv[fb.ccls],
+                        (so, jnp.int32(0), jnp.int32(0)), (fb.P, c, c))
+                    # add (not set): a bucket's padded lanes overlap the
+                    # next level's slots and must leave them untouched
+                    linv[fb.ccls] = jax.lax.dynamic_update_slice(
+                        linv[fb.ccls], cur + Li,
+                        (so, jnp.int32(0), jnp.int32(0)))
+                return linv, None
+            soff_stack = soffs if soffs else []
+            linv, _ = jax.lax.scan(
+                step, linv,
+                (fin_xs, rlo_all,
+                 jnp.stack(soff_stack, 1) if soff_stack
+                 else jnp.zeros((seg.nsteps, 0), jnp.int32), srlo))
+        return tuple(linv)
+
+    def _gpool_impl(self, pools, flat_sol):
+        """Aligned-operand pool: per update pair the column-aligned
+        overlap block G = S @ B_raw (c, K), laid out contiguously per
+        (bucket, step) so every solve step reads one slab — no per-step
+        one-hot alignment and no index-driven gathers (the two largest
+        measured solve-traffic terms)."""
+        def vs(meta):
+            off, shape = meta
+            return jax.lax.slice_in_dim(
+                flat_sol, off, off + int(np.prod(shape)),
+                axis=0).reshape(shape)
+        pools8 = [p.reshape(-1, 8 * c)
+                  for p, c in zip(pools, self.classes)]
+
+        def build(b, sx, T):
+            P = sx["brow"].shape[-1]
+            br = sx["brow"].reshape(T, P)
+            cq = sx["colq"].reshape(T, P, b.Q)
+            Braw = pools8[b.kcls][
+                (br // 8)[..., None] + _iota(b.Q // 8)
+            ].reshape(T, P, b.Q, b.K)
+            S = (_iota(b.c)[None, None, :, None]
+                 == cq[:, :, None, :]).astype(self.dtype)
+            G = jnp.einsum("tpcq,tpqk->tpck", S, Braw,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=self.dtype)
+            return G.reshape(T, P * b.c * b.K)
+
+        nseg_s = (self.plan.solve_nseg
+                  if getattr(self.plan, "solve_nseg", None) is not None
+                  else len(self.plan.segments))
+        out = []
+        for si in range(nseg_s):
+            seg = self.plan.segments[si]
+            out.append([build(b, {k: vs(mm) for k, mm in m.items()},
+                              seg.nsteps)
+                        for b, m in zip(seg.supd, self._sol_meta[si][0])])
+        top = []
+        if self._top is not None:
+            top = [build(b, {k: vs(mm) for k, mm in m.items()}, 1)
+                   for b, m in zip(self._top.supd,
+                                   self._top_meta["supd"])]
+        return (out, top)
+
+    def solve_prep(self, pools):
+        """(tinv, linv, gp) for the fast solve, cached on pools identity
+        — one-time per factorization (the stored-inverse discipline of
+        the factorize side extended to the solve; reference analog: the
+        peeled level's multithreaded dtrsm, Triangular_BCSC.h:238)."""
+        cached = getattr(self, "_solve_prep_cache", None)
+        if cached is not None and cached[0] is pools[0]:
+            return cached[1], cached[2], cached[3]
+        if not hasattr(self, "_linv_pools_j"):
+            self._linv_pools_j = jax.jit(self._linv_pools_impl)
+        tinv = self.top_inverse(pools)
+        linv = self._linv_pools_j(pools, self._flat_rep, self._flat_sol)
+        if self._gpool_enabled:
+            if not hasattr(self, "_gpool_j"):
+                self._gpool_j = jax.jit(self._gpool_impl)
+            gp = self._gpool_j(pools, self._flat_sol)
+        else:
+            gp = ([], [])
+        self._solve_prep_cache = (pools[0], tinv, linv, gp)
+        return tinv, linv, gp
+
+    # --------------------------------------------------- dense-top prep
+    def _top_inverse_impl(self, pools, flat_sol):
+        from parsy_bench_tpu.ops.dense import dense_tri_inv
+        t = self._top.t
+
+        def vs(meta):
+            off, shape = meta
+            return jax.lax.slice_in_dim(
+                flat_sol, off, off + int(np.prod(shape)),
+                axis=0).reshape(shape)
+        Td = jnp.zeros(t * t, self.dtype)
+        for ci in range(self.ncls):
+            m = vs(self._top_meta["gather"][ci])   # (3, k)
+            Td = Td.at[m[2]].set(pools[ci][m[0], m[1]])
+        return dense_tri_inv(Td.reshape(t, t))
+
+    def top_inverse(self, pools):
+        """Explicit inverse of the dense-top triangular block, gathered
+        from the factored pools — ONE-time per factorization (the solve
+        analog of the stored panel inverses; reference peeled level,
+        Triangular_BCSC.h:238).  Cached on the pools' identity."""
+        if self._top is None:
+            return jnp.zeros((0, 0), self.dtype)
+        cached = getattr(self, "_top_inv_cache", None)
+        if cached is not None and cached[0] is pools[0]:
+            return cached[1]
+        if not hasattr(self, "_top_inverse_j"):
+            self._top_inverse_j = jax.jit(self._top_inverse_impl)
+        tinv = self._top_inverse_j(pools, self._flat_sol)
+        self._top_inv_cache = (pools[0], tinv)
+        return tinv
+
     def solve_lower(self, pools, b):
         """x = L^{-1} b (forward substitution, level-parallel)."""
         if self._has_fast_solve:
+            tinv, linv, gp = self.solve_prep(pools)
             return self._solve_lower_fast(pools, jnp.asarray(b),
-                                          self._flat_rep, self._flat_sol)
+                                          self._flat_rep, self._flat_sol,
+                                          tinv, linv, gp)
         return self._solve_lower(pools, jnp.asarray(b), self._flat_rep)
 
     def solve_upper(self, pools, b):

@@ -62,6 +62,11 @@ class DistExecutor:
             return (off, tuple(arr.shape[1:]))
 
         self._amap_meta = [pack(m) for m in plan.a_map]
+        oc = getattr(plan, "owner_col", None)
+        self._ownercol_meta = pack(np.broadcast_to(
+            oc if oc is not None
+            else np.zeros(plan.n + 1, dtype=np.int32),
+            (self.G, plan.n + 1)))
         self._seg_meta = []
         for seg in plan.segments:
             upd = [dict(arow=pack(b.arow), brow=pack(b.brow),
@@ -73,7 +78,14 @@ class DistExecutor:
             rlo = pack(seg.rlo)
             brows = [pack(t) for t in seg.brows]
             boffs = [pack(t) for t in seg.boff]
-            self._seg_meta.append((upd, fin, rlo, brows, boffs))
+            sol = dict(sl_boff=pack(seg.sl_boff),
+                       sl_rows=pack(seg.sl_rows),
+                       sl_rdst=[pack(t) for t in seg.sl_rdst],
+                       su_slot=pack(seg.su_slot),
+                       su_srow=pack(seg.su_srow),
+                       su_boff=pack(seg.su_boff),
+                       su_rows=pack(seg.su_rows))
+            self._seg_meta.append((upd, fin, rlo, brows, boffs, sol))
         flat = np.concatenate(pieces, axis=1) if pieces else \
             np.zeros((self.G, 0), dtype=np.int32)
         sharding = jax.sharding.NamedSharding(mesh, P("p", None))
@@ -224,7 +236,7 @@ class DistExecutor:
     # --------------------------------------------------------- programs
     def _seg_xs(self, flat, si):
         """Step-major xs pytree of segment si from the local flat slice."""
-        upd_m, fin_m, rlo_m, brows_m, boffs_m = self._seg_meta[si]
+        upd_m, fin_m, rlo_m, brows_m, boffs_m, _ = self._seg_meta[si]
         upd = [dict((k, self._view(flat, m[k]))
                     for k in ("arow", "brow", "colq", "dst"))
                for m in upd_m]
@@ -235,6 +247,15 @@ class DistExecutor:
         brows = [self._view(flat, m) for m in brows_m]
         boffs = [self._view(flat, m) for m in boffs_m]
         return upd, fin, rlo, brows, boffs
+
+    def _sol_xs(self, flat, si):
+        """Solve-boundary tables of segment si (dplan DSegment sl_*/su_*)."""
+        sol = self._seg_meta[si][5]
+        out = dict((k, self._view(flat, sol[k]))
+                   for k in ("sl_boff", "sl_rows", "su_slot", "su_srow",
+                             "su_boff", "su_rows"))
+        out["sl_rdst"] = [self._view(flat, m) for m in sol["sl_rdst"]]
+        return out
 
     def _run_segments(self, pools, flat, lo, hi):
         for si in range(lo, hi):
@@ -308,10 +329,16 @@ class DistExecutor:
         return strict + jnp.where(i == j, dinv[:, :, None], 0)
 
     def _solve_lower_body(self, pools, b_vec, flat):
-        """Distributed forward substitution: each device solves its own
-        panels; per-step x/RHS contributions merge with one psum (full
-        n-vector — the solve's payload is O(n) floats, small next to the
-        factor; boundary-slicing it is future work)."""
+        """Distributed forward substitution with BOUNDARY-ONLY
+        communication (SURVEY §7E halo x-segments): each device solves
+        its own panels and applies RHS updates to its own columns
+        locally; cross-owner contributions ride one ragged psum of
+        boundary slots per level step (keyed (receiver, step, row) —
+        dplan sl_* tables), the same discipline as the factorize side.
+        x stays owner-distributed through the scan and is assembled with
+        ONE final psum (entries are owner-disjoint).  Replaces the
+        round-4 full-(n+1)-vector psums per step (the reference's shared
+        ``omp atomic`` x scatter, Triangular_BCSC.h:218)."""
         flat = flat.reshape(-1)
         pools = [p.reshape(p.shape[-2], p.shape[-1]) if p.ndim == 3
                  else p for p in pools]
@@ -321,13 +348,16 @@ class DistExecutor:
                               jnp.zeros(1, self.dtype)])
         for si, seg in enumerate(self.plan.segments):
             _, fin, rlo, _, _ = self._seg_xs(flat, si)
+            sol = self._sol_xs(flat, si)
+            SL = seg.sl_btot
 
             def step(carry, xs, seg=seg):
                 x, bc = carry
-                f_xs, rlo_t = xs
+                f_xs, rlo_t, rdst_t, slboff_t, slrows_t = xs
                 dx = jnp.zeros(n + 1, self.dtype)
-                dbc = jnp.zeros(n + 1, self.dtype)
-                for b, fx in zip(seg.fin, f_xs):
+                # extended RHS delta: [n+1 local | SL boundary slots]
+                D = jnp.zeros(n + 1 + SL, self.dtype)
+                for b, fx, rd in zip(seg.fin, f_xs, rdst_t):
                     blk = jax.lax.dynamic_slice(
                         pools[b.ccls],
                         (rlo_t[b.ccls] + fx["boff"], jnp.int32(0)),
@@ -349,30 +379,52 @@ class DistExecutor:
                                    preferred_element_type=self.dtype)
                     below = (_iota(b.H)[None, :] >= fx["w"][:, None]) \
                         & lanev
-                    ridx = jnp.where(below, fx["rows"], n)
-                    dbc = dbc.at[ridx].add(-(y * below))
-                dx = jax.lax.psum(dx, "p")
-                dbc = jax.lax.psum(dbc, "p")
+                    # rd: dummy n for diag/pad, global row for local
+                    # below rows, (n+1)+slot for cross rows
+                    D = D.at[jnp.where(below, rd, n)].add(-(y * below))
+                send = jax.lax.slice_in_dim(D, n + 1, n + 1 + SL, axis=0)
+                recv = jax.lax.psum(send, "p")
+                own = jax.lax.dynamic_slice(
+                    jnp.concatenate(
+                        [recv, jnp.zeros((seg.sl_bc,), self.dtype)]),
+                    (slboff_t,), (seg.sl_bc,))
+                # own columns: solved entries are owner-exclusive, no psum
                 x = (x + dx).at[n].set(0)
-                bc = (bc + dbc).at[n].set(0)
+                bc = (bc + D[:n + 1]).at[slrows_t].add(own).at[n].set(0)
                 return (x, bc), None
-            (x, bc), _ = jax.lax.scan(step, (x, bc), (fin, rlo))
-        return x[:n]
+            (x, bc), _ = jax.lax.scan(
+                step, (x, bc),
+                (fin, rlo, sol["sl_rdst"], sol["sl_boff"],
+                 sol["sl_rows"]))
+        # owner-disjoint entries -> one assembly psum for the whole solve
+        return jax.lax.psum(x[:n], "p")
 
     def _solve_upper_body(self, pools, b_vec, flat):
+        """Distributed backward substitution with boundary-only x
+        DELIVERY: each owner solves its columns locally; the freshly
+        solved x entries other devices will read ride one ragged psum of
+        boundary slots per step (keyed (reader, source step, row) —
+        dplan su_* tables), written into the readers' local x copies.
+        The final assembly masks each device to its own columns (local
+        copies of foreign entries would double-count under psum)."""
         flat = flat.reshape(-1)
         pools = [p.reshape(p.shape[-2], p.shape[-1]) if p.ndim == 3
                  else p for p in pools]
         n = self.plan.n
+        ocol = self._view(flat, self._ownercol_meta)      # (n+1,) int32
+        g = jax.lax.axis_index("p")
         x = jnp.zeros(n + 1, self.dtype)
         bp = jnp.concatenate([b_vec.astype(self.dtype),
                               jnp.zeros(1, self.dtype)])
         for si in range(len(self.plan.segments) - 1, -1, -1):
             seg = self.plan.segments[si]
             _, fin, rlo, _, _ = self._seg_xs(flat, si)
+            sol = self._sol_xs(flat, si)
+            SU = seg.su_btot
 
             def step(x, xs, seg=seg):
-                f_xs, rlo_t = xs
+                (f_xs, rlo_t, suslot_t, susrow_t, suboff_t,
+                 surows_t) = xs
                 dx = jnp.zeros(n + 1, self.dtype)
                 for b, fx in zip(seg.fin, f_xs):
                     blk = jax.lax.dynamic_slice(
@@ -396,10 +448,25 @@ class DistExecutor:
                         preferred_element_type=self.dtype) * colv
                     dx = dx.at[jnp.where(colv, cidx, n)].add(
                         jnp.where(colv, xs_, 0))
-                dx = jax.lax.psum(dx, "p")
-                return (x + dx).at[n].set(0), None
-            x, _ = jax.lax.scan(step, x, (fin, rlo), reverse=True)
-        return x[:n]
+                x = (x + dx).at[n].set(0)
+                # deliver the just-solved boundary x entries: the column
+                # owner fills its slots; readers copy their slice
+                send = jnp.zeros(SU + 1, self.dtype).at[suslot_t].set(
+                    x[susrow_t])
+                recv = jax.lax.psum(send[:SU], "p")
+                own = jax.lax.dynamic_slice(
+                    jnp.concatenate(
+                        [recv, jnp.zeros((seg.su_bc,), self.dtype)]),
+                    (suboff_t,), (seg.su_bc,))
+                x = x.at[surows_t].set(own).at[n].set(0)
+                return x, None
+            x, _ = jax.lax.scan(
+                step, x,
+                (fin, rlo, sol["su_slot"], sol["su_srow"],
+                 sol["su_boff"], sol["su_rows"]), reverse=True)
+        # mask to own columns before assembly (foreign copies delivered
+        # above must not double-count)
+        return jax.lax.psum(jnp.where(ocol[:n] == g, x[:n], 0), "p")
 
     def solve_lower(self, pools, b):
         return self._solve_lower(pools, jnp.asarray(b), self._flat)

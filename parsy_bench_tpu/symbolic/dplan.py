@@ -90,6 +90,29 @@ class DSegment:
     boff: list           # per class: (G, T) own offset into the ragged
     #                      boundary buffer
 
+    # ---- solve-side boundary exchange (SURVEY §7E halo x-segments;
+    # replaces the round-4 full-(n+1)-vector psums per step).
+    # LOWER solve: cross-owner RHS contributions ride one ragged psum per
+    # step, keyed (receiver, source step, global row); each fin bucket's
+    # ``rdst`` addresses an extended delta [n+1 local | slots | dummy].
+    sl_btot: int = 1     # ragged send-buffer rows (static)
+    sl_bc: int = 1       # max own slots per (device, step) (static)
+    sl_boff: np.ndarray | None = None   # (G, T) own offset
+    sl_rows: np.ndarray | None = None   # (G, T, sl_bc) global row, pad -> n
+    sl_rdst: list = dataclasses.field(default_factory=list)
+    #                      per fin bucket: (G, T, P, H) extended-delta pos
+    # UPPER solve: x-value delivery, keyed (reader, source step, row).
+    # The column owner gathers its freshly solved x entries into slots
+    # (su_slot/su_srow, sender side); readers copy their slice into their
+    # local x (su_rows, receiver side).
+    su_btot: int = 1
+    su_ks: int = 1       # max slots a sender fills per step (static)
+    su_slot: np.ndarray | None = None   # (G, T, su_ks) slot pos, pad->btot
+    su_srow: np.ndarray | None = None   # (G, T, su_ks) global row, pad -> n
+    su_bc: int = 1
+    su_boff: np.ndarray | None = None   # (G, T) reader offset
+    su_rows: np.ndarray | None = None   # (G, T, su_bc) global row, pad -> n
+
 
 @dataclasses.dataclass
 class DistPlan:
@@ -103,6 +126,7 @@ class DistPlan:
     owner: np.ndarray    # (nsuper,) owning device (diagnostics)
     comm: dict           # boundary statistics (computeComCost analog)
     layout_meta: dict    # per-device extraction info for verification
+    owner_col: np.ndarray | None = None   # (n+1,) owning device per column
 
     @property
     def ncls(self):
@@ -120,13 +144,24 @@ class DistPlan:
         ring = 2.0 * (self.G - 1) / max(self.G, 1)
         total = 0.0
         recv_min = 0.0
+        solve_l = 0.0
+        solve_u = 0.0
         for seg in self.segments:
             total += seg.nsteps * ring * sum(
                 bt * c * 4 for bt, c in zip(seg.btot, self.classes))
             recv_min += seg.nsteps * sum(
                 bc * c * 4 for bc, c in zip(seg.bc, self.classes))
+            solve_l += seg.nsteps * ring * seg.sl_btot * 4
+            solve_u += seg.nsteps * ring * seg.su_btot * 4
+        # one final full-x assembly psum per solve direction
+        final_x = ring * (self.n + 1) * 4
         return {"factorize_bytes": total,
-                "receive_min_bytes": recv_min}
+                "receive_min_bytes": recv_min,
+                "solve_lower_bytes": solve_l + final_x,
+                "solve_upper_bytes": solve_u + final_x,
+                "solve_r4_design_bytes":
+                    2.0 * ring * (self.n + 1) * 4
+                    * sum(seg.nsteps for seg in self.segments)}
 
 
 def build_dist_plan(a: CSC, parent: np.ndarray, cc: np.ndarray,
@@ -273,6 +308,22 @@ def build_dist_plan(a: CSC, parent: np.ndarray, cc: np.ndarray,
         lane = np.empty(len(cpair), dtype=np.int64)
         lane[order_c] = _group_ranks(skey[order_c])
 
+    # ---------------- solve-side boundary structure --------------------
+    # every (panel, below-diagonal row) pair once, globally: the lower
+    # solve's RHS contributions and the upper solve's x reads both flow
+    # along these edges (SURVEY §7E halo x-segments)
+    _bstart = rptr[:-1] + w_all
+    _bcnt = h_all - w_all
+    bidx_g, pan_b, _ = _expand(_bstart, _bcnt)
+    rb_g = rows[bidx_g].astype(np.int64)
+    pow_b = owner[pan_b]
+    rsup_b = part.col2sup.astype(np.int64)[rb_g]
+    rown_b = owner[rsup_b]
+    cross_b = pow_b != rown_b
+    tp_b = lev[pan_b]
+    tr_b = lev[rsup_b]
+    solve_cross_slots = 0
+
     segments: list[DSegment] = []
     max_over = np.zeros(ncls, dtype=np.int64)
     cross_rows_total = 0
@@ -281,8 +332,66 @@ def build_dist_plan(a: CSC, parent: np.ndarray, cc: np.ndarray,
         wslice = [int(wrows[:, ci, t0:t1].max(initial=0))
                   for ci in range(ncls)]
 
+        # -------- lower-solve boundary slots (receiver = row owner,
+        # keyed (receiver, panel step, global row)) ----------------------
+        Np = np.int64(n + 1)
+        cm = cross_b & (seg_of_lev[tp_b] == si)
+        keys_l = np.unique(((rown_b[cm] * T + (tp_b[cm] - t0)) * Np
+                            + rb_g[cm]))
+        gt_l = keys_l // Np
+        rank_l = _group_ranks(gt_l)
+        sl_bc = int(rank_l.max()) + 1 if len(rank_l) else 1
+        cnt_l = np.zeros((G, T), dtype=np.int64)
+        if len(keys_l):
+            np.add.at(cnt_l, (gt_l // T, gt_l % T), 1)
+        off_l = np.zeros((G, T), dtype=np.int64)
+        np.cumsum(cnt_l[:-1], axis=0, out=off_l[1:])
+        sl_btot = max(int(cnt_l.sum(axis=0).max(initial=0)), 1)
+        sl_rows = np.full((G, T, sl_bc), n, dtype=np.int32)
+        if len(keys_l):
+            sl_rows[gt_l // T, gt_l % T, rank_l] = keys_l % Np
+        slot_l = off_l[gt_l // T, gt_l % T] + rank_l \
+            if len(keys_l) else rank_l
+        solve_cross_slots += len(keys_l)
+
+        # -------- upper-solve delivery slots (reader = panel owner,
+        # keyed (reader, source step, global row)) -----------------------
+        cu = cross_b & (seg_of_lev[tr_b] == si)
+        keys_u = np.unique(((pow_b[cu] * T + (tr_b[cu] - t0)) * Np
+                            + rb_g[cu]))
+        gt_u = keys_u // Np
+        r_u = keys_u % Np
+        rank_u = _group_ranks(gt_u)
+        su_bc = int(rank_u.max()) + 1 if len(rank_u) else 1
+        cnt_u = np.zeros((G, T), dtype=np.int64)
+        if len(keys_u):
+            np.add.at(cnt_u, (gt_u // T, gt_u % T), 1)
+        off_u = np.zeros((G, T), dtype=np.int64)
+        np.cumsum(cnt_u[:-1], axis=0, out=off_u[1:])
+        su_btot = max(int(cnt_u.sum(axis=0).max(initial=0)), 1)
+        su_rows = np.full((G, T, su_bc), n, dtype=np.int32)
+        if len(keys_u):
+            su_rows[gt_u // T, gt_u % T, rank_u] = r_u
+        # sender side: the row owner fills the slots of every reader
+        snd_u = owner[part.col2sup.astype(np.int64)[np.minimum(r_u, n - 1)]] \
+            if len(keys_u) else np.zeros(0, dtype=np.int64)
+        tt_u = gt_u % T
+        skey = snd_u * T + tt_u
+        sord = np.lexsort((np.arange(len(keys_u)), skey))
+        srank = np.empty(len(keys_u), dtype=np.int64)
+        srank[sord] = _group_ranks(skey[sord])
+        su_ks = int(srank.max()) + 1 if len(srank) else 1
+        su_slot = np.full((G, T, su_ks), su_btot, dtype=np.int32)
+        su_srow = np.full((G, T, su_ks), n, dtype=np.int32)
+        if len(keys_u):
+            gslot = off_u[gt_u // T, tt_u] + rank_u
+            su_slot[snd_u, tt_u, srank] = gslot
+            su_srow[snd_u, tt_u, srank] = r_u
+        solve_cross_slots += len(keys_u)
+
         # -------- finalize buckets (per device) ------------------------
         fin_buckets = []
+        sl_rdst_buckets = []
         for ci in range(ncls):
             c = classes[ci]
             sel = np.nonzero((cls == ci) & (lev >= t0) & (lev < t1))[0]
@@ -309,6 +418,25 @@ def build_dist_plan(a: CSC, parent: np.ndarray, cc: np.ndarray,
                 cols0[gg, tt, lane_f] = sptr[od]
                 ri, ow, intra_r = _expand(rptr[od], h_all[od])
                 rows_t[gg[ow], tt[ow], lane_f[ow], intra_r] = rows[ri]
+                # lower-solve extended-delta targets: diag rows -> dummy
+                # n, local below rows -> global row, cross below rows ->
+                # (n+1) + ragged slot
+                rdst = np.full((G, T, P, int(H)), n, dtype=np.int32)
+                rglob = rows[ri].astype(np.int64)
+                below_e = intra_r >= w_all[od[ow]]
+                rown_e = owner[part.col2sup.astype(np.int64)[rglob]]
+                dval = np.full(len(ri), n, dtype=np.int64)
+                loc_e = below_e & (rown_e == gg[ow])
+                dval[loc_e] = rglob[loc_e]
+                cr_e = below_e & (rown_e != gg[ow])
+                if cr_e.any():
+                    kq = ((rown_e[cr_e] * T + tt[ow][cr_e]) * Np
+                          + rglob[cr_e])
+                    pos = np.searchsorted(keys_l, kq)
+                    assert np.all(keys_l[pos] == kq), "slot lookup miss"
+                    dval[cr_e] = n + 1 + slot_l[pos]
+                rdst[gg[ow], tt[ow], lane_f[ow], intra_r] = dval
+                sl_rdst_buckets.append(rdst)
                 fin_buckets.append(DFinBucket(
                     ccls=ci, c=c, H=int(H), P=P, cnt=cnt, boff=boff,
                     w=w_t, cols0=cols0, rows=rows_t))
@@ -429,7 +557,16 @@ def build_dist_plan(a: CSC, parent: np.ndarray, cc: np.ndarray,
                                  fin=fin_buckets, rlo=rlo_seg,
                                  wslice=tuple(wslice),
                                  bc=tuple(bc_cls), btot=tuple(btot_cls),
-                                 brows=brows_cls, boff=boff_cls))
+                                 brows=brows_cls, boff=boff_cls,
+                                 sl_btot=sl_btot, sl_bc=sl_bc,
+                                 sl_boff=off_l.astype(np.int32),
+                                 sl_rows=sl_rows,
+                                 sl_rdst=sl_rdst_buckets,
+                                 su_btot=su_btot, su_ks=su_ks,
+                                 su_slot=su_slot, su_srow=su_srow,
+                                 su_bc=su_bc,
+                                 su_boff=off_u.astype(np.int32),
+                                 su_rows=su_rows))
 
     max_mc = max(max(config.chunk_classes), max(config.q_classes))
     nrows = nrows_dev.max(axis=0) + max_over + max_mc + 8 + 1
@@ -451,11 +588,15 @@ def build_dist_plan(a: CSC, parent: np.ndarray, cc: np.ndarray,
     flops = float(np.sum(cc64 * cc64))
     total_rows = float(mm.sum()) or 1.0
     comm = {"cross_row_slots": cross_rows_total,
+            "solve_cross_slots": int(solve_cross_slots),
             "row_fraction_cross":
                 float(mm[owner[dd] != owner[ss]].sum() / total_rows)}
+    owner_col = np.concatenate(
+        [owner[part.col2sup.astype(np.int64)], [G]]).astype(np.int32)
     layout_meta = dict(part=part, rptr=rptr, rows=rows, cls=cls,
                        wpad=wpad, hpad=hpad, rowoff=rowoff, owner=owner,
                        lev=lev, nnz_l=int(cc.sum()))
     return DistPlan(n=n, G=G, classes=classes, segments=segments,
                     nrows=nrows, a_map=a_map, flops=flops, owner=owner,
-                    comm=comm, layout_meta=layout_meta)
+                    comm=comm, layout_meta=layout_meta,
+                    owner_col=owner_col)

@@ -114,6 +114,29 @@ class SolveUpdBucket:
 
 
 @dataclasses.dataclass
+class TopSolve:
+    """Dense trailing-solve block: the thin top levels (root-separator
+    panel chains) collapsed into one dense triangular matrix T of ``t``
+    columns.  Solves run the leveled scan only over segments
+    [0, solve_nseg), apply ALL bottom->top update pairs as a handful of
+    single-step batched einsums (``supd``), then finish with one
+    Tinv @ rhs GEMV — the MXU-native peeled last level
+    (H2LeveledBlockedLsolve_Peeled, Triangular_BCSC.h:238).
+
+    ``gather`` feeds the one-time Tinv preparation: T[dflat] = pool
+    entries of every L value among top columns (lower triangle only —
+    diag-block strict uppers hold stored inverses, never gathered)."""
+    t: int               # dense dimension (total real top columns)
+    lev0: int            # first absorbed wavefront level
+    #: per class: (3, k) int32 [pool row; pool col; dense flat i*t+j]
+    gather: list
+    #: per class: (2, k) int32 [xb flat slot position; dense index]
+    xmap: list
+    #: bottom->top RHS updates, absolute xb-slot dst (pad -> trash row)
+    supd: list
+
+
+@dataclasses.dataclass
 class SupSegment:
     nsteps: int
     upd: list[UpdBucket]
@@ -126,6 +149,7 @@ class SupSegment:
     sslice: tuple | None = None      # per class: static slot window rows
     soff: list = dataclasses.field(default_factory=list)
     #                      per fin bucket: (T,) window-local slot offset
+    strue: np.ndarray | None = None  # (ncls, T) true slots per level step
 
 
 @dataclasses.dataclass
@@ -141,6 +165,10 @@ class SupernodalPlan:
     nrows: np.ndarray    # (ncls,) final pool rows (incl. slack + dummy row)
     npanels: np.ndarray | None = None  # (ncls,) panel slots per class
     bmap: list | None = None  # per class (2, k): [xb flat pos; b index]
+    top: TopSolve | None = None        # dense trailing-solve block
+    solve_nseg: int | None = None      # segments the leveled solve scans
+    slotw: list | None = None          # per class: (npanels,) slot widths
+    gpool_mb: int = 2048               # aligned-operand pool budget
 
     @property
     def classes(self):
@@ -493,6 +521,30 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
     seg_of_lev = np.zeros(nlev, dtype=np.int64)
     for si, (t0, t1) in enumerate(segs):
         seg_of_lev[t0:t1] = si
+
+    # ---------------- dense-top selection (solve side only) ------------
+    # absorb trailing segments while their levels are thin and the total
+    # column count fits the Tinv budget; solves then scan only segments
+    # [0, s0) and finish with one dense GEMV (TopSolve docstring)
+    s0 = len(segs)
+    if config.dense_top_cols > 0 and nlev > 0:
+        lev_pan = np.bincount(lev, minlength=nlev)
+        lev_w = np.zeros(nlev, dtype=np.int64)
+        np.add.at(lev_w, lev, w_all)
+        cum = 0
+        for si in range(len(segs) - 1, -1, -1):
+            t0s, t1s = segs[si]
+            if lev_pan[t0s:t1s].max(initial=0) > config.dense_top_thin:
+                break
+            segcols = int(lev_w[t0s:t1s].sum())
+            if cum + segcols > config.dense_top_cols:
+                break
+            cum += segcols
+            s0 = si
+        if s0 == len(segs) or nlev - segs[s0][0] < 4:
+            s0 = len(segs)          # not worth a dense block
+    lev0 = segs[s0][0] if s0 < len(segs) else nlev
+
     if with_updates and len(cpair):
         cseg = seg_of_lev[clev]
         # global sort of chunks by (segment, bucket, shard, level) and
@@ -607,7 +659,7 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
         sslice = tuple(int(strue[ci].max(initial=0) + Pmax[ci])
                        for ci in range(ncls))
         supd_buckets: list[SolveUpdBucket] = []
-        if len(dd):
+        if len(dd) and si < s0:
             psel = np.nonzero(seg_of_lev[lev[ss]] == si)[0]  # pairs by tgt
             if len(psel):
                 pq = q_idx[psel]
@@ -654,7 +706,8 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
                                    wslice=tuple(wslice),
                                    supd=supd_buckets,
                                    srlo=slot_rlo[:, t0:t1].astype(np.int32),
-                                   sslice=sslice, soff=soff_buckets))
+                                   sslice=sslice, soff=soff_buckets,
+                                   strue=strue.astype(np.int32)))
 
     # pool slack so every window slice and padded gather is in-bounds;
     # rounded to a multiple of 8 so pools reshape to packed (r/8, 8c)
@@ -666,6 +719,12 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
 
     # xb-pool sizing + b<->panel-column maps for the blocked trisolve
     npanels_pad = npanels + max_sover + 1
+    slotw = []
+    for ci in range(ncls):
+        wv = np.zeros(int(npanels_pad[ci]), dtype=np.int32)
+        selw = np.nonzero(cls == ci)[0]
+        wv[pslot[selw]] = w_all[selw]
+        slotw.append(wv)
     bmap = []
     cols = np.arange(n, dtype=np.int64)
     s_of_col = part.col2sup.astype(np.int64)
@@ -674,6 +733,80 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
     for ci in range(ncls):
         m = cls[s_of_col] == ci
         bmap.append(np.stack([bflat[m], cols[m]]))
+
+    # ---------------- dense-top table emission -------------------------
+    top = None
+    if s0 < len(segs):
+        tsel = np.nonzero(lev >= lev0)[0]
+        tsel = tsel[np.argsort(sptr[tsel])]     # ascending columns
+        tw = w_all[tsel].astype(np.int64)
+        t = int(tw.sum())
+        tcols, _, _ = _expand(sptr[tsel], tw)   # sorted global columns
+        # T gather: all (row, col) pattern entries with row >= col
+        cnt_e = h_all[tsel] * tw
+        _, pan_of, intra_e = _expand(np.zeros(len(tsel), dtype=np.int64),
+                                     cnt_e)
+        a_r = intra_e // tw[pan_of]
+        b_c = intra_e % tw[pan_of]
+        sg = tsel[pan_of]
+        gi = rows[rptr[sg] + a_r].astype(np.int64)
+        gj = (sptr[sg] + b_c).astype(np.int64)
+        keep = gi >= gj
+        sg, a_r, b_c, gi, gj = (x[keep] for x in (sg, a_r, b_c, gi, gj))
+        di = np.searchsorted(tcols, gi)
+        dj = np.searchsorted(tcols, gj)
+        assert np.all(tcols[di] == gi), "top rows escape top columns"
+        prow = rowoff[sg] + a_r                 # pool row (class-local)
+        gather = []
+        for ci in range(ncls):
+            m = cls[sg] == ci
+            gather.append(np.stack([prow[m], b_c[m],
+                                    di[m] * np.int64(t) + dj[m]]))
+        # x/rhs map: xb slot positions of every top column
+        xs_g = tsel[np.repeat(np.arange(len(tsel)), tw)]
+        xj = tcols - sptr[xs_g]
+        xpos = pslot[xs_g] * np.asarray(classes)[cls[xs_g]] + xj
+        dix = np.arange(t, dtype=np.int64)
+        xmap = []
+        for ci in range(ncls):
+            m = cls[xs_g] == ci
+            xmap.append(np.stack([xpos[m], dix[m]]))
+        # bottom->top update pairs as single-step buckets
+        top_supd: list[SolveUpdBucket] = []
+        if len(dd):
+            psel = np.nonzero((lev[ss] >= lev0) & (lev[dd] < lev0))[0]
+            if len(psel):
+                pq = q_idx[psel]
+                pbkey = (cls[dd[psel]] * ncls + cls[ss[psel]]) \
+                    * len(config.q_classes) + pq
+                pord = np.lexsort((psel, pbkey))
+                plane = np.empty(len(psel), dtype=np.int64)
+                plane[pord] = _group_ranks(pbkey[pord])
+                for bk in np.unique(pbkey):
+                    sel_b = pbkey == bk
+                    bi = psel[sel_b]
+                    kcls = int(cls[dd[bi[0]]])
+                    ccls = int(cls[ss[bi[0]]])
+                    Q = int(qpad[bi[0]])
+                    c = classes[ccls]
+                    P = int(plane[sel_b].max()) + 1
+                    trash = int(npanels_pad[ccls]) - 1
+                    browt = np.zeros((1, P), dtype=np.int32)
+                    xrowt = np.zeros((1, P), dtype=np.int32)
+                    colqt = np.full((1, P, Q), c, dtype=np.int32)
+                    dstt = np.full((1, P), trash, dtype=np.int32)
+                    ll = plane[sel_b]
+                    browt[0, ll] = astart_pair[bi] - shift[bi]
+                    xrowt[0, ll] = pslot[dd[bi]]
+                    dstt[0, ll] = pslot[ss[bi]]
+                    br, ow_b, intra_b = _expand(bq_off[bi], qq[bi])
+                    colqt[0, ll[ow_b],
+                          shift[bi][ow_b] + intra_b] = b_colpos[br]
+                    top_supd.append(SolveUpdBucket(
+                        kcls=kcls, K=classes[kcls], ccls=ccls, c=c, Q=Q,
+                        brow=browt, xrow=xrowt, colq=colqt, dst=dstt))
+        top = TopSolve(t=t, lev0=int(lev0), gather=gather, xmap=xmap,
+                       supd=top_supd)
 
     if cc is not None:
         cc64 = cc.astype(np.float64)
@@ -689,4 +822,6 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
     return SupernodalPlan(n=n, layout=layout, lev=lev, nlev=nlev,
                           nshards=G, segments=segments, flops=flops,
                           gemm_flops=gemm_flops, nrows=nrows,
-                          npanels=npanels_pad, bmap=bmap)
+                          npanels=npanels_pad, bmap=bmap, top=top,
+                          solve_nseg=s0, slotw=slotw,
+                          gpool_mb=int(config.solve_gpool_mb))

@@ -59,6 +59,7 @@ def run_single_g(g: int, grid: int) -> None:
         ex = s.executor
         fact = lambda: ex.factorize_segmented(data32, group=8)
         psum_dev = 0.0
+        solve_psum = {}
         pool_dev = s.plan.pool_elems() * 4
         cross = 0.0
         solve_fn = lambda pools, b: ex.solve_lower(pools, b)
@@ -67,7 +68,11 @@ def run_single_g(g: int, grid: int) -> None:
         mesh = Mesh(np.array(jax.devices()[:g]), ("p",))
         dex = DistExecutor(dplan, mesh, dtype=jnp.float32)
         fact = lambda: dex.factorize_segmented(data32, group=8)
-        psum_dev = dplan.psum_bytes_per_step()["factorize_bytes"]
+        pm = dplan.psum_bytes_per_step()
+        psum_dev = pm["factorize_bytes"]
+        solve_psum = {k: pm[k] for k in
+                      ("solve_lower_bytes", "solve_upper_bytes",
+                       "solve_r4_design_bytes", "receive_min_bytes")}
         pool_dev = dplan.pool_elems_per_device() * 4
         cross = dplan.comm["row_fraction_cross"]
         solve_fn = lambda pools, b: dex.solve_lower(pools, b)
@@ -94,6 +99,7 @@ def run_single_g(g: int, grid: int) -> None:
         "compile_s": round(compile_s, 1),
         "factorize_mnnz_per_s": round(nnzl / tf / 1e6, 2),
         "psum_bytes_per_device_per_factorize": psum_dev,
+        "solve_psum_bytes": solve_psum,
         "pool_bytes_per_device": pool_dev,
         "cross_row_fraction": round(cross, 4),
     }), flush=True)
@@ -106,7 +112,7 @@ def main():
         return
     import subprocess
     grid = int(sys.argv[1]) if len(sys.argv) > 1 else 48
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALING_r04.json"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALING_r05.json"
     cores = os.cpu_count() or 1
     rows = []
     t1 = None
@@ -134,8 +140,9 @@ def main():
         "matrix": f"laplace_3d({grid})",
         "n": rows[0]["n"] if rows else None,
         "backend": f"cpu-virtual-8dev on {cores} physical cores",
-        "design": "ownership-partitioned pools + ragged boundary psum "
-                  "(parallel/dist.py)",
+        "design": "ownership-partitioned pools + ragged boundary psum; "
+                  "solves exchange boundary slots only, one final x "
+                  "assembly psum (parallel/dist.py)",
         "caveat": f"virtual devices share one {cores}-core host: "
                   "wall-clock speedup is capped at min(G, cores); "
                   "psum/pool bytes per device are architecture "

@@ -107,3 +107,15 @@ def test_boundary_volume_smaller_than_window():
             window_r3 += seg.nsteps * seg.wslice[ci] * c
     assert window_r3 > 0
     assert boundary < 0.3 * window_r3, (boundary, window_r3)
+
+
+def test_solve_boundary_volume_below_r4_design(oracle):
+    """The distributed solves must move boundary slots, not full
+    (n+1)-vectors per step (the round-4 design): modeled psum bytes per
+    device for both solve directions must sit well below the r4 design
+    volume, and within sight of the factorize discipline."""
+    a, cfg, s, lref, lpat = oracle
+    plan = build_dist_plan(s.ap, s.parent, s.cc, 4, cfg)
+    m = plan.psum_bytes_per_step()
+    assert m["solve_lower_bytes"] < 0.5 * m["solve_r4_design_bytes"]
+    assert m["solve_upper_bytes"] < 0.5 * m["solve_r4_design_bytes"]
