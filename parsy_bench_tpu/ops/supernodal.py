@@ -35,6 +35,21 @@ def _iota(n, dtype=jnp.int32):
     return jax.lax.iota(dtype, n)
 
 
+def chol_inverse(D):
+    """Batched masked-SPD Cholesky + inverse: the Pallas kernel on TPU
+    (ops/pallas_kernels.py — the whole blocked chain as ONE kernel,
+    measured 134 -> 139 GFLOP/s factorize at n=110k), the XLA chain
+    elsewhere (CPU mesh tests; interpret-mode Pallas is too slow).
+    ``PBT_DISABLE_PALLAS=1`` forces the XLA path for A/B runs."""
+    import os
+    if (jax.default_backend() == "tpu"
+            and not os.environ.get("PBT_DISABLE_PALLAS")):
+        from parsy_bench_tpu.ops.pallas_kernels import (
+            cholesky_inverse_pallas)
+        return cholesky_inverse_pallas(D)
+    return cholesky_inverse(D)
+
+
 class SupernodalExecutor:
     """Compiled numeric phase for one ``SupernodalPlan``."""
 
@@ -318,7 +333,7 @@ class SupernodalExecutor:
                 lanes.append(lane)
             D = masked_spd(jnp.concatenate(tops), jnp.concatenate(ws),
                            c, self.dtype)
-            L, Linv = cholesky_inverse(D)
+            L, Linv = chol_inverse(D)
             off = 0
             i_c = jax.lax.broadcasted_iota(jnp.int32, (1, c, c), 1)
             j_c = jax.lax.broadcasted_iota(jnp.int32, (1, c, c), 2)
@@ -416,10 +431,13 @@ class SupernodalExecutor:
         from parsy_bench_tpu.ops import dense
         from parsy_bench_tpu.utils import aotcache
         C = SupernodalExecutor
+        from parsy_bench_tpu.ops import pallas_kernels as pk
         return aotcache.source_hash(
             C._unpack, C._init_pools, C._apply_updates, C._finalize,
-            C._step, C.factorize_segmented, dense.masked_spd,
-            dense.cholesky_inverse, dense._chol_panel, dense.nilpotent_inv)
+            C._step, C.factorize_segmented, chol_inverse, dense.masked_spd,
+            dense.cholesky_inverse, dense._chol_panel, dense.nilpotent_inv,
+            pk._chol_inverse_body, pk._chol_panel, pk._nilpotent_inv,
+            pk.cholesky_inverse_pallas)
 
     def _solve_src(self) -> str:
         """Source hash of the solve-path code (AOT key material)."""

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from parsy_bench_tpu.ops.dense import cholesky_inverse, masked_spd
+from parsy_bench_tpu.ops.dense import masked_spd
+from parsy_bench_tpu.ops.supernodal import chol_inverse
 from parsy_bench_tpu.symbolic.dplan import DistPlan
 
 
@@ -199,7 +200,7 @@ class DistExecutor:
                 ws.append(xs["w"])
             D = masked_spd(jnp.concatenate(tops), jnp.concatenate(ws),
                            c, self.dtype)
-            L, Linv = cholesky_inverse(D)
+            L, Linv = chol_inverse(D)
             off = 0
             i_c = jax.lax.broadcasted_iota(jnp.int32, (1, c, c), 1)
             j_c = jax.lax.broadcasted_iota(jnp.int32, (1, c, c), 2)

@@ -108,3 +108,25 @@ def test_factorize_loop_matches_factorize():
     pools = s.executor.factorize_loop(s.ap.data, 3)
     for p, q in zip(pools, s.lx):
         assert np.allclose(np.asarray(p), np.asarray(q), atol=1e-6)
+
+
+def test_pallas_cholesky_inverse_matches_dense():
+    """The Pallas batched Cholesky+inverse kernel (ops/pallas_kernels.py)
+    must reproduce ops/dense.cholesky_inverse (same algorithm traced as
+    one kernel) — interpret mode on CPU, f32."""
+    import numpy as np
+    import jax.numpy as jnp
+    from parsy_bench_tpu.ops.dense import cholesky_inverse, masked_spd
+    from parsy_bench_tpu.ops.pallas_kernels import cholesky_inverse_pallas
+
+    rng = np.random.default_rng(3)
+    for (P, c) in ((5, 16), (9, 32), (6, 128)):
+        w = rng.integers(1, c + 1, P).astype(np.int32)
+        A = rng.standard_normal((P, c, c)).astype(np.float32)
+        D0 = np.einsum("pij,pkj->pik", A, A) + c * np.eye(
+            c, dtype=np.float32)
+        D = masked_spd(jnp.asarray(D0), jnp.asarray(w), c, jnp.float32)
+        L1, Li1 = cholesky_inverse(D)
+        L2, Li2 = cholesky_inverse_pallas(D, tile_p=4, interpret=True)
+        assert float(jnp.max(jnp.abs(L1 - L2))) < 1e-5 * c
+        assert float(jnp.max(jnp.abs(Li1 - Li2))) < 1e-6
