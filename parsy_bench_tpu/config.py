@@ -49,6 +49,14 @@ class SolverConfig:
     #: for the update B operand; must cover max overlap + 7 alignment
     #: pre-rows (splan packed gathers).
     q_classes: Tuple[int, ...] = (16, 48, 136)
+    #: how per-step update contributions land on the delta window:
+    #: "gather" inverts the scatter at inspection time into static
+    #: gathers + ladder sums + one dense take (scatter-free — ~25 ns per
+    #: scattered row measured vs ~1 ns per taken row; splan
+    #: _build_gather_tables); "scatter" keeps the index scatter-add.
+    #: Single-shard plans only — sharded/distributed executors always
+    #: scatter (their deltas ride collectives).
+    update_delta: str = "gather"
     #: scan-segmentation padding tolerance: close a segment when padding
     #: every bucket to the running lane maxima would exceed this multiple
     #: of the true work (ops/simplicial.py segment_levels).

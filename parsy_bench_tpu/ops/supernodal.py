@@ -105,9 +105,14 @@ class SupernodalExecutor:
             return (off, tuple(arr.shape[1:]))
 
         self._seg_meta = []
+        self._gsc_meta = []   # per segment: scatter-free update tables
         for seg in plan.segments:
             upd = [dict(arow=_pack_upd(b.arow), brow=_pack_upd(b.brow),
-                        colq=_pack_upd(b.colq), dst=_pack_upd(b.dst),
+                        colq=_pack_upd(b.colq),
+                        # dst feeds only the scatter path — skip the
+                        # (G,T,P,Mc) upload when gather tables replace it
+                        dst=(None if getattr(seg, "gsc", None) is not None
+                             else _pack_upd(b.dst)),
                         Mc=b.Mc, Q=b.Q)
                    for b in seg.upd]
             fin = [dict(cnt=_pack_rep(b.cnt), boff=_pack_rep(b.boff),
@@ -115,6 +120,15 @@ class SupernodalExecutor:
                         rows=_pack_rep(b.rows)) for b in seg.fin]
             rlo = _pack_rep(seg.rlo.T)            # (T, ncls)
             self._seg_meta.append((upd, fin, rlo))
+            if getattr(seg, "gsc", None) is None:
+                self._gsc_meta.append(None)
+            else:
+                self._gsc_meta.append([
+                    None if ent is None else dict(
+                        ladder=ent["ladder"], ntot=ent["ntot"],
+                        gidx=[_pack_rep(g) for g in ent["gidx"]],
+                        pidx=_pack_rep(ent["pidx"]))
+                    for ent in seg.gsc])
         self._flat_rep = jnp.asarray(
             np.concatenate(rep_pieces) if rep_pieces
             else np.zeros(0, dtype=np.int32))
@@ -219,8 +233,9 @@ class SupernodalExecutor:
                     v = v.reshape((Gl,) + shape)
                     # -> step-major (T, Gl, ...)
                     return jnp.moveaxis(v, 0, 1)
-                upd.append(dict(arow=vu("arow"), brow=vu("brow"),
-                                colq=vu("colq"), dst=vu("dst")))
+                upd.append({k: vu(k)
+                            for k in ("arow", "brow", "colq", "dst")
+                            if m[k] is not None})
             fin = []
             for m in fin_m:
                 def vr(key, m=m):
@@ -238,6 +253,27 @@ class SupernodalExecutor:
             segs.append((upd, fin, rlo))
         return segs
 
+    def _unpack_gsc(self, flat_rep):
+        """Step-major views of the scatter-free update tables (per
+        segment: per class dict(gidx=[(T,R,m)...], pidx=(T,W)) or None;
+        splan._build_gather_tables)."""
+        def vr(meta):
+            off, shape = meta
+            return jax.lax.slice_in_dim(
+                flat_rep, off, off + int(np.prod(shape)),
+                axis=0).reshape(shape)
+        out = []
+        for gm in self._gsc_meta:
+            if gm is None:
+                out.append(None)
+                continue
+            out.append([
+                None if ent is None else dict(
+                    gidx=[vr(m) for m in ent["gidx"]],
+                    pidx=vr(ent["pidx"]))
+                for ent in gm])
+        return out
+
     # ------------------------------------------------------------- pools
     def _init_pools(self, a_data, a_map=None):
         """Scatter A values into zeroed per-class pools.  ``a_map`` may be
@@ -254,10 +290,55 @@ class SupernodalExecutor:
         return pools
 
     # ----------------------------------------------------------- updates
+    def _apply_updates_gather(self, pools, wins, seg: SupSegment, upd_xs,
+                              gsc_xs):
+        """Scatter-free updates: the einsum pair per bucket as before,
+        then the delta lands via STATIC gathers — ladder-classed
+        contribution sums plus one dense window take — instead of the
+        ~25 ns/row index scatter-add (splan._build_gather_tables).
+        Single-shard only (sharded deltas ride collectives and keep the
+        scatter form)."""
+        cbuf = [[] for _ in self.classes]
+        pools8 = [p.reshape(-1, 8 * c)
+                  for p, c in zip(pools, self.classes)]
+        for b, xs in zip(seg.upd, upd_xs):
+            A = pools8[b.kcls][
+                (xs["arow"][0] // 8)[:, None] + _iota(b.Mc // 8)
+            ].reshape(-1, b.Mc, b.K)
+            Braw = pools8[b.kcls][
+                (xs["brow"][0] // 8)[:, None] + _iota(b.Q // 8)
+            ].reshape(-1, b.Q, b.K)
+            Chat = jnp.einsum("pmk,pqk->pmq", A, Braw,
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=self.dtype)
+            S = (_iota(b.c)[None, :, None]
+                 == xs["colq"][0][:, None, :]).astype(self.dtype)
+            C = jnp.einsum("pmq,pcq->pmc", Chat, S,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=self.dtype)
+            cbuf[b.ccls].append(C.reshape(-1, b.c))
+        out = []
+        for ci, c in enumerate(self.classes):
+            ent = gsc_xs[ci] if gsc_xs is not None else None
+            if ent is None:
+                out.append(wins[ci])
+                continue
+            call = jnp.concatenate(
+                [jnp.zeros((1, c), self.dtype)] + cbuf[ci], axis=0)
+            parts = [jnp.zeros((1, c), self.dtype)]
+            for gi in ent["gidx"]:          # (R, m) at this step
+                parts.append(jnp.sum(call[gi], axis=1))
+            stacked = jnp.concatenate(parts, axis=0)
+            out.append(wins[ci] - stacked[ent["pidx"]])
+        return out
+
     def _apply_updates(self, pools, wins, seg: SupSegment, upd_xs,
-                       axis_name=None):
+                       axis_name=None, gsc_xs=None):
         """Batched einsum updates scatter-added into per-class delta
         windows; one subtraction lands them on the window."""
+        if gsc_xs is not None and axis_name is None:
+            return self._apply_updates_gather(pools, wins, seg, upd_xs,
+                                              gsc_xs)
         deltas = [jnp.zeros((seg.wslice[ci] + 1, c), self.dtype)
                   for ci, c in enumerate(self.classes)]
         # packed pools: 8 consecutive rows per fat row, so the chunk
@@ -381,11 +462,12 @@ class SupernodalExecutor:
 
     # ------------------------------------------------------------ factor
     def _step(self, pools, seg: SupSegment, upd_xs, fin_xs, rlo,
-              axis_name=None):
+              axis_name=None, gsc_xs=None):
         wins = [jax.lax.dynamic_slice(
             pools[ci], (rlo[ci], jnp.int32(0)), (seg.wslice[ci], c))
             for ci, c in enumerate(self.classes)]
-        wins = self._apply_updates(pools, wins, seg, upd_xs, axis_name)
+        wins = self._apply_updates(pools, wins, seg, upd_xs, axis_name,
+                                   gsc_xs)
         wins = self._finalize(wins, seg, fin_xs, axis_name)
         return [jax.lax.dynamic_update_slice(
             pools[ci], wins[ci], (rlo[ci], jnp.int32(0)))
@@ -394,12 +476,15 @@ class SupernodalExecutor:
     def _factorize_impl(self, a_data, flat_rep, flat_upd, axis_name=None):
         pools = self._init_pools(a_data)
         seg_xs = self._unpack(flat_rep, flat_upd)
-        for seg, (upd_xs, fin_xs, rlo) in zip(self.plan.segments, seg_xs):
+        gsc_all = self._unpack_gsc(flat_rep)
+        for seg, (upd_xs, fin_xs, rlo), gsc in zip(
+                self.plan.segments, seg_xs, gsc_all):
             def step(pools, xs, seg=seg):
-                u, f, rlo_t = xs
-                pools = self._step(pools, seg, u, f, rlo_t, axis_name)
+                u, f, rlo_t, g = xs
+                pools = self._step(pools, seg, u, f, rlo_t, axis_name, g)
                 return pools, None
-            pools, _ = jax.lax.scan(step, pools, (upd_xs, fin_xs, rlo))
+            pools, _ = jax.lax.scan(step, pools,
+                                    (upd_xs, fin_xs, rlo, gsc))
         return tuple(pools)
 
     def factorize(self, a_data):
@@ -422,7 +507,8 @@ class SupernodalExecutor:
                       for b in seg.upd),
                 tuple((b.ccls, b.c, b.H, b.P) for b in seg.fin),
             ))
-        return (tuple(segs), self._seg_meta, self._rep_len, self._upd_len,
+        return (tuple(segs), self._seg_meta, self._gsc_meta,
+                self._rep_len, self._upd_len,
                 tuple(int(r) for r in self.plan.nrows),
                 tuple(self.classes), str(self.dtype), self._G, self.plan.n)
 
@@ -433,7 +519,8 @@ class SupernodalExecutor:
         C = SupernodalExecutor
         from parsy_bench_tpu.ops import pallas_kernels as pk
         return aotcache.source_hash(
-            C._unpack, C._init_pools, C._apply_updates, C._finalize,
+            C._unpack, C._unpack_gsc, C._init_pools, C._apply_updates,
+            C._apply_updates_gather, C._finalize,
             C._step, C.factorize_segmented, chol_inverse, dense.masked_spd,
             dense.cholesky_inverse, dense._chol_panel, dense.nilpotent_inv,
             pk._chol_inverse_body, pk._chol_panel, pk._nilpotent_inv,
@@ -517,14 +604,16 @@ class SupernodalExecutor:
             def make(lo, hi):
                 def run(pools, fr, fu):
                     seg_xs = self._unpack(fr, fu)
+                    gsc_all = self._unpack_gsc(fr)
                     pools = list(pools)
                     for si in range(lo, hi):
                         seg = self.plan.segments[si]
                         def step(pools, xs, seg=seg):
-                            u, f, rlo_t = xs
+                            u, f, rlo_t, g = xs
                             return self._step(list(pools), seg, u, f,
-                                              rlo_t), None
-                        pools = jax.lax.scan(step, pools, seg_xs[si])[0]
+                                              rlo_t, None, g), None
+                        pools = jax.lax.scan(
+                            step, pools, seg_xs[si] + (gsc_all[si],))[0]
                     return tuple(pools)
                 # donate the incoming pools: each group program rewrites
                 # them in place (buffer reuse halves peak HBM across the
@@ -1166,21 +1255,23 @@ class SupernodalExecutor:
         out = []
         for i, seg in enumerate(self.plan.segments):
             def run_once(pools, fr, fu, i=i, seg=seg):
-                xs3 = self._unpack(fr, fu)[i]
+                xs4 = self._unpack(fr, fu)[i] + (self._unpack_gsc(fr)[i],)
                 def step(pools, xs):
-                    u, f, rlo = xs
-                    return self._step(pools, seg, u, f, rlo), None
-                return jax.lax.scan(step, pools, xs3)[0]
+                    u, f, rlo, g = xs
+                    return self._step(pools, seg, u, f, rlo, None,
+                                      g), None
+                return jax.lax.scan(step, pools, xs4)[0]
 
             def run_reps(pools, fr, fu, i=i, seg=seg):
-                xs3 = self._unpack(fr, fu)[i]
+                xs4 = self._unpack(fr, fu)[i] + (self._unpack_gsc(fr)[i],)
                 def body(k, ps):
                     # fold-proof dependency: k-dependent zero contribution
                     ps = [p + jnp.float32(0) * jnp.float32(k) for p in ps]
                     def step(ps2, xs):
-                        u, f, rlo = xs
-                        return self._step(tuple(ps2), seg, u, f, rlo), None
-                    return jax.lax.scan(step, ps, xs3)[0]
+                        u, f, rlo, g = xs
+                        return self._step(tuple(ps2), seg, u, f, rlo,
+                                          None, g), None
+                    return jax.lax.scan(step, ps, xs4)[0]
                 return jax.lax.fori_loop(0, reps, body, list(pools))
             jrun = jax.jit(run_reps)
             jax.block_until_ready(jrun(pools, self._flat_rep,

@@ -150,6 +150,9 @@ class SupSegment:
     soff: list = dataclasses.field(default_factory=list)
     #                      per fin bucket: (T,) window-local slot offset
     strue: np.ndarray | None = None  # (ncls, T) true slots per level step
+    #: per class: gather/ladder tables replacing the delta scatter-add
+    #: (dict(ladder, gidx, pidx)) or None — see _build_gather_tables
+    gsc: list | None = None
 
 
 @dataclasses.dataclass
@@ -232,6 +235,89 @@ def emit_pairs(rptr, rows, sptr, col2sup):
     lb = widths[dd] + intra[starts]
     qq = ends - starts
     return dd, ss, lb, qq
+
+
+def _build_gather_tables(upd_buckets, wslice, T, ncls):
+    """Static gather/ladder tables that turn the per-step delta
+    SCATTER-add into pure gathers + dense sums (scatter-free updates).
+
+    The executor's ``deltas.at[dst].add(C)`` costs ~25 ns per scattered
+    row on the chip (measured r3/r5 — 5.3M padded rows = ~130 ms of the
+    300 ms factorize at n=1e5), while static ``take`` runs at ~1 ns/row.
+    Every (chunk row -> window row) assignment is known at inspection
+    time, so the scatter inverts statically:
+
+    * all real chunk rows of a step's C buffers (concatenated per target
+      class, one leading zero row) are grouped by target window row;
+    * each window row's contribution count is padded to a power-of-two
+      LADDER class m; ``gidx[m]`` is (T, R_m, m) source positions (+1;
+      0 = the zero row) — the executor gathers and sums axis 1;
+    * ``pidx`` (T, wslice) maps every window row to its summed group in
+      the step's stacked [zero | ladder-class sums] buffer (untouched
+      rows -> 0), so the delta lands as ONE dense take + subtract.
+
+    Only padded-lane/alignment-row entries are dropped (they are never
+    referenced), which also skips the ~35% of scattered rows that were
+    pure chunk padding.  Reference analog: the column-major assembly of
+    updates the scatter replaced (parallel_PB_Cholesky_05.h:160-197) —
+    same sums, different (static) order.
+    """
+    out = []
+    for ci in range(ncls):
+        bks = [b for b in upd_buckets if b.ccls == ci]
+        if not bks:
+            out.append(None)
+            continue
+        ts_l, wr_l, fp_l = [], [], []
+        base = 0
+        for b in bks:
+            G, Tb, P, Mc = b.dst.shape
+            assert G == 1, "gather tables are single-shard only"
+            d = b.dst[0]
+            tt, pp, mm = np.nonzero(d != wslice[ci])
+            ts_l.append(tt)
+            wr_l.append(d[tt, pp, mm])
+            fp_l.append(base + pp * np.int64(Mc) + mm)
+            base += P * Mc
+        ts = np.concatenate(ts_l).astype(np.int64)
+        wr = np.concatenate(wr_l).astype(np.int64)
+        fp = np.concatenate(fp_l).astype(np.int64)
+        if not len(ts):
+            out.append(None)
+            continue
+        key = ts * np.int64(wslice[ci] + 1) + wr
+        order = np.lexsort((fp, key))
+        key_s, fp_s = key[order], fp[order]
+        first = np.ones(len(key_s), dtype=bool)
+        first[1:] = key_s[1:] != key_s[:-1]
+        gstart = np.nonzero(first)[0]
+        gcnt = np.diff(np.concatenate([gstart, [len(key_s)]]))
+        g_t = key_s[gstart] // np.int64(wslice[ci] + 1)
+        g_w = key_s[gstart] % np.int64(wslice[ci] + 1)
+        ladder = [1]
+        while ladder[-1] < int(gcnt.max()):
+            ladder.append(ladder[-1] * 2)
+        mcls = np.searchsorted(ladder, gcnt)
+        pidx = np.zeros((T, wslice[ci]), dtype=np.int32)
+        gidx, lad_used = [], []
+        stack_off = 1                       # 0 = the zero row
+        for li in np.unique(mcls):
+            m = int(ladder[li])
+            sel = np.nonzero(mcls == li)[0]
+            sel = sel[np.lexsort((sel, g_t[sel]))]
+            rank = _group_ranks(g_t[sel])
+            R = int(rank.max()) + 1
+            gi = np.zeros((T, R, m), dtype=np.int32)
+            rs, ow, intra = _expand(gstart[sel], gcnt[sel])
+            gi[g_t[sel][ow], rank[ow], intra] = (fp_s[rs] + 1).astype(
+                np.int32)
+            pidx[g_t[sel], g_w[sel]] = (stack_off + rank).astype(np.int32)
+            stack_off += R
+            gidx.append(gi)
+            lad_used.append(m)
+        out.append(dict(ladder=tuple(lad_used), gidx=gidx, pidx=pidx,
+                        ntot=base))
+    return out
 
 
 def _chunk_pairs(m, chunk_classes):
@@ -701,13 +787,18 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
             max_over[ci] = max(max_over[ci], int(over.max(initial=0)))
             sover = slot_rlo[ci, t0:t1] + sslice[ci] - npanels[ci]
             max_sover[ci] = max(max_sover[ci], int(sover.max(initial=0)))
+        gsc = None
+        if (with_updates and upd_buckets and G == 1
+                and getattr(config, "update_delta", "gather") == "gather"):
+            gsc = _build_gather_tables(upd_buckets, wslice, T, ncls)
         segments.append(SupSegment(nsteps=T, upd=upd_buckets,
                                    fin=fin_buckets, rlo=rlo_seg,
                                    wslice=tuple(wslice),
                                    supd=supd_buckets,
                                    srlo=slot_rlo[:, t0:t1].astype(np.int32),
                                    sslice=sslice, soff=soff_buckets,
-                                   strue=strue.astype(np.int32)))
+                                   strue=strue.astype(np.int32),
+                                   gsc=gsc))
 
     # pool slack so every window slice and padded gather is in-bounds;
     # rounded to a multiple of 8 so pools reshape to packed (r/8, 8c)
