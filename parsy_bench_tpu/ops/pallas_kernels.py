@@ -144,6 +144,131 @@ def _kernel(d_ref, l_ref, li_ref):
     li_ref[:] = Li
 
 
+def _finalize_body(blk, wc, cnt, lane0, dtype):
+    """The whole per-bucket finalize on one lane tile: masked-SPD build,
+    blocked Cholesky + inverse, panel TRSM-as-GEMM, Linv^T storage and
+    the lane-masked diff — the exact ops/supernodal._finalize chain (same
+    masks, same order) as straight-line kernel code.
+
+    ``wc`` is (tp, c) with the lane's logical width replicated along the
+    last axis: Mosaic cannot broadcast a (tp, 1, 1) value across both
+    sublanes and lanes, so every width mask is built from wc with a
+    SINGLE-direction broadcast ((tp,c,1) over lanes or (tp,1,c) over
+    sublanes), and the two transposes use identity-matmul contractions
+    (tpu.transpose is likewise unavailable)."""
+    tp, H, c = blk.shape
+    i_cc = jax.lax.broadcasted_iota(jnp.int32, (tp, c, c), 1)
+    j_cc = jax.lax.broadcasted_iota(jnp.int32, (tp, c, c), 2)
+    wi = wc[:, :, None]                  # (tp, c, 1): broadcast lanes
+    wj = wc[:, None, :]                  # (tp, 1, c): broadcast sublanes
+    valid = (i_cc < wi) & (j_cc < wj)
+    top = blk[:, :c, :]
+    eye = jnp.where(i_cc == j_cc, jnp.ones((), dtype), 0)
+    # masked_spd (ops/dense.py:61): symmetric valid part, identity pad
+    D0 = jnp.where(valid & (j_cc <= i_cc), top, 0)
+    strict = jnp.where(j_cc < i_cc, D0, 0)
+    # batch transpose as an identity contraction over the last axes
+    D = D0 + _bdot(eye, strict, transpose_b=True)
+    D = D + jnp.where((i_cc == j_cc) & (i_cc >= wi), jnp.ones((), dtype),
+                      0)
+    L, Linv = _chol_inverse_body(D)
+    Ltop = jnp.where(valid, L, 0)
+    LinvT = _bdot(eye, Linv, transpose_b=True)
+    Ltop = Ltop + jnp.where((j_cc > i_cc) & valid, LinvT, 0)
+    Y = _bdot(blk, Linv, transpose_b=True)            # (tp, H, c)
+    colv = (jax.lax.broadcasted_iota(jnp.int32, (tp, 1, c), 2)
+            < wc[:, None, :])                          # (tp, 1, c)
+    Y = jnp.where(colv, Y, 0)
+    topout = jnp.where(i_cc < wi, Ltop, Y[:, :c, :])
+    # H == c panels have no below-diagonal rows (size-0 slices are not
+    # Mosaic-representable)
+    out = (topout if H == c
+           else jnp.concatenate([topout, Y[:, c:, :]], axis=1))
+    lane = lane0 + jax.lax.broadcasted_iota(jnp.int32, (tp, H, c), 0)
+    return jnp.where(lane < cnt, out - blk, 0)
+
+
+def _finalize_kernel(w_ref, cnt_ref, blk_ref, diff_ref, *,
+                     blocked_w: bool):
+    tp = blk_ref.shape[0]
+    lane0 = pl.program_id(0) * tp
+    # blocked_w: w arrives as a (tp, c) block (requires tp % 8 == 0 —
+    # the TPU block-shape rule); otherwise the full (P, c) array is
+    # VMEM-resident and sliced here (small-P buckets only: a 252k-lane
+    # leaf bucket's full w is 32 MB and blew the scoped budget at n=1e6)
+    wc = w_ref[:] if blocked_w else w_ref[pl.ds(lane0, tp), :]
+    diff_ref[:] = _finalize_body(
+        blk_ref[:], wc, cnt_ref[0, 0], lane0, blk_ref.dtype)
+
+
+#: Mosaic scoped-vmem budget for the fused finalize kernel.  The default
+#: 16 MB scoped limit is a compiler default, not the physical bound —
+#: raising it via CompilerParams.vmem_limit_bytes compiles AND runs on
+#: the v5e (measured r5: tp=32 at c=32 wants 22.8 MB, tp=64 ~45 MB).
+_FIN_VMEM = 100 * 2**20
+
+
+def finalize_fused_tile(H: int, c: int, P: int) -> int:
+    """Lane tile for finalize_fused_pallas — measured operating points
+    (r5, v5e): at c=32 the chain ops use only 32 of 128 lanes and the
+    best tile is 32 (36.6 ms vs 41.5/43.5 at 16/64 on the 27k-lane leaf
+    bucket); at c=128 tp=4 runs 2.2x faster than tp=1 (8.76 vs 19.6 ms
+    at P=512, H=128).  The tile must divide P (small-H buckets are
+    64-padded by the plan; tall buckets fall back to the largest
+    power-of-two divisor — 1 always works).  Returns 0 when even one
+    lane's blocks exceed the scoped-vmem budget (caller falls back to
+    the XLA chain)."""
+    per_lane_chain = 185 * c * c * 4     # measured live-set upper bound
+    tp = 32 if c <= 64 else 4
+    # the pipelined in/out windows are multi-buffered by Mosaic (the
+    # compiler reported an 8x window footprint on an 8 MB block), so the
+    # raw block is capped tightly and the chain stack separately
+    while tp and (tp * H * c * 4 > 4 * 2**20
+                  or tp * per_lane_chain > 64 * 2**20):
+        tp //= 2
+    while tp and P % tp:
+        tp //= 2
+    return tp
+
+
+@functools.partial(jax.jit, static_argnames=("tp", "interpret"))
+def finalize_fused_pallas(blk, w, cnt, tp: int, interpret: bool = False):
+    """Per-bucket finalize (ops/supernodal._finalize inner chain) as ONE
+    Pallas kernel over lane tiles: blk (P, H, c) window block, w (P,)
+    logical widths, cnt scalar true-lane count -> lane-masked diff
+    (P, H, c) to add onto the window.  Measured r5: the leaf segment's
+    finalize was 48 ms of the 273 ms factorize at n=1e5 — ~24.5 ms of
+    serial small-op Cholesky chains and ~19 ms of whole-window
+    elementwise mask passes, all fused here into one VMEM-resident pass
+    (reference dpotrf/dtrsm pair, parallel_PB_Cholesky_05.h:204-218)."""
+    P, H, c = blk.shape
+    if P % tp:
+        raise ValueError(f"lane count {P} not a multiple of tile {tp}")
+    blocked_w = tp % 8 == 0
+    return pl.pallas_call(
+        functools.partial(_finalize_kernel, blocked_w=blocked_w),
+        grid=(P // tp,),
+        in_specs=[
+            pl.BlockSpec((tp, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+            if blocked_w else
+            pl.BlockSpec((P, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tp, H, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tp, H, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, H, c), blk.dtype),
+        interpret=interpret,
+        **({} if interpret else {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=_FIN_VMEM)}),
+    )(jnp.broadcast_to(w.astype(jnp.int32)[:, None], (P, c)),
+      cnt.reshape(1, 1).astype(jnp.int32), blk)
+
+
 @functools.partial(jax.jit, static_argnames=("tile_p", "interpret"))
 def cholesky_inverse_pallas(D, tile_p: int | None = None,
                             interpret: bool = False):

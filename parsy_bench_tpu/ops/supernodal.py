@@ -386,7 +386,23 @@ class SupernodalExecutor:
         mesh (lane % G == device), each device factors only its panels, and
         the delta is ``psum``-merged — ownership partitioning of node
         finalization (SURVEY §7E; the reference's per-partition node loop,
-        parallel_PB_Cholesky_05.h:83)."""
+        parallel_PB_Cholesky_05.h:83).
+
+        ``PBT_FUSED_FINALIZE=1`` (opt-in, TPU single-device): narrow
+        classes (c <= 64) run the whole inner chain as ONE fused Pallas
+        kernel per bucket (pallas_kernels.finalize_fused_pallas) — the
+        leaf segment's finalize measured 48 ms of the 273 ms factorize
+        at n=1e5 and the kernel does it in ~37 ms standalone.  OFF by
+        default: in the full grouped-compile context the kernel
+        instances ballooned the cold compile from ~6 to >40 minutes for
+        a single-digit-ms win, and applied indiscriminately (wide
+        classes / padded tall buckets) it REGRESSED to 72 GFLOP/s — the
+        r5 floor-attribution record (RESULTS_r05.md) has the numbers."""
+        import os
+        use_fused = (axis_name is None
+                     and jax.default_backend() == "tpu"
+                     and os.environ.get("PBT_FUSED_FINALIZE")
+                     and not os.environ.get("PBT_DISABLE_PALLAS"))
         nsh = self.plan.nshards if axis_name is not None else 1
         g = jax.lax.axis_index(axis_name) if axis_name is not None else 0
         for ci, c in enumerate(self.classes):
@@ -394,6 +410,26 @@ class SupernodalExecutor:
                    if b.ccls == ci]
             if not bks:
                 continue
+            if use_fused and c <= 64:
+                from parsy_bench_tpu.ops.pallas_kernels import (
+                    finalize_fused_tile, finalize_fused_pallas)
+                tiles = [finalize_fused_tile(b.H, b.c, b.P)
+                         for b, _ in bks]
+                if all(tiles):
+                    for (b, xs), tp in zip(bks, tiles):
+                        blk = jax.lax.dynamic_slice(
+                            wins[ci], (xs["boff"], jnp.int32(0)),
+                            (b.P * b.H, c)).reshape(b.P, b.H, c)
+                        diff = finalize_fused_pallas(
+                            blk, xs["w"], xs["cnt"], tp)
+                        # in place: real lanes never overlap across
+                        # buckets and padded-lane diffs are zero, so
+                        # sequential adds equal the delta accumulation
+                        wins[ci] = jax.lax.dynamic_update_slice(
+                            wins[ci],
+                            (blk + diff).reshape(b.P * b.H, c),
+                            (xs["boff"], jnp.int32(0)))
+                    continue
             win = wins[ci]
             delta = jnp.zeros_like(win)
             blks, tops, ws, lanes = [], [], [], []
@@ -524,7 +560,9 @@ class SupernodalExecutor:
             C._step, C.factorize_segmented, chol_inverse, dense.masked_spd,
             dense.cholesky_inverse, dense._chol_panel, dense.nilpotent_inv,
             pk._chol_inverse_body, pk._chol_panel, pk._nilpotent_inv,
-            pk.cholesky_inverse_pallas)
+            pk.cholesky_inverse_pallas, pk._finalize_body,
+            pk._finalize_kernel, pk.finalize_fused_pallas,
+            pk.finalize_fused_tile)
 
     def _solve_src(self) -> str:
         """Source hash of the solve-path code (AOT key material)."""

@@ -664,8 +664,16 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
                 cnt = np.zeros(T, dtype=np.int32)
                 np.add.at(cnt, lev[ss_h] - t0, 1)
                 # lane axis padded to a multiple of the shard count so the
-                # sharded executor can stride-partition bucket ownership
-                P = -(-int(cnt.max()) // G) * G
+                # sharded executor can stride-partition bucket ownership;
+                # single-shard SMALL-H buckets pad to 64 so the fused
+                # finalize Pallas kernel gets its best lane tile (the
+                # padding costs <= 63*H*c pool elems — cheap at H <= 128,
+                # but 63*4096*128 elems on a tall bucket, measured +42%
+                # total pool at n=1e5 when applied indiscriminately);
+                # tall buckets stay unpadded and the kernel drops to the
+                # largest power-of-two divisor of P (>= 1 always works)
+                Pmul = 64 if (G == 1 and int(H) <= 128) else G
+                P = -(-int(cnt.max()) // Pmul) * Pmul
                 Pmax[ci] = max(Pmax[ci], P)
                 boff = np.zeros(T, dtype=np.int32)
                 soff = np.zeros(T, dtype=np.int32)

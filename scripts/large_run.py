@@ -30,12 +30,17 @@ def main():
     from parsy_bench_tpu.config import SolverConfig
     from parsy_bench_tpu.models import CholeskySolver
 
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "LARGE_r04.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "LARGE_r05.json"
     grid = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     a = generate.laplace_3d(grid)
     t0 = time.perf_counter()
+    # n >= 5e5: the scatter-free gather tables cost ~1.2 GB HBM at n=1e6
+    # (gidx+pidx, splan._build_gather_tables) for a measured ~5% step win
+    # — at reference scale the memory goes to pools instead
+    upd = "gather" if a.n < 5e5 else "scatter"
     solver = CholeskySolver(a, SolverConfig(ordering="nd", dtype="float32",
-                                            tier="supernodal"))
+                                            tier="supernodal",
+                                            update_delta=upd))
     analyze_s = time.perf_counter() - t0
     print(json.dumps({"stage": "analyze", "s": round(analyze_s, 1),
                       "timings": solver.timings,
@@ -48,23 +53,59 @@ def main():
     jax.block_until_ready(data)
     t0 = time.perf_counter()
     group = 8      # conservative at this scale (compile-helper memory)
+    aot = "/root/repo/.aot_cache"
     solver.lx = jax.block_until_ready(
-        solver.executor.factorize_segmented(data, group=group))
+        solver.executor.factorize_segmented(data, group=group,
+                                            cache_dir=aot))
     compile_s = time.perf_counter() - t0
     print(json.dumps({"stage": "compile+first", "s": round(compile_s, 1)}),
           flush=True)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        lx = solver.executor.factorize_segmented(data, group=group)
+        lx = solver.executor.factorize_segmented(data, group=group,
+                                                 cache_dir=aot)
         jax.block_until_ready(lx)
         times.append(time.perf_counter() - t0)
     median = sorted(times)[len(times) // 2]
 
     # trisolve on the factor, b = L*1 protocol
     nnzl = int(solver.cc.sum())
-    lmat = solver.factor_csc().to_scipy()
-    b = np.asarray(lmat @ np.ones(a.n), dtype=np.float32)
+    if a.n < 5e5:
+        lmat = solver.factor_csc().to_scipy()
+        b = np.asarray(lmat @ np.ones(a.n), dtype=np.float32)
+    else:
+        # b = L*1 computed on DEVICE by masked pool-row sums: at n=1e6
+        # nnz(L) = 614M — materializing L on the host (and its int64
+        # extraction map on the chip) does not fit; the masked sum
+        # excludes the Linv^T stored in the diag blocks' strict upper
+        # triangles (ops/supernodal._finalize)
+        import jax.numpy as jnp
+        lay = solver.plan.layout
+        part = lay.part
+        w_all = np.diff(part.sptr)
+        h_all = np.diff(lay.rptr)
+        b_dev = jnp.zeros(a.n + 1, jnp.float32)
+        for ci, c in enumerate(lay.classes):
+            sel = np.nonzero(lay.cls == ci)[0]
+            tot = int(h_all[sel].sum())
+            owner = np.repeat(np.arange(len(sel)), h_all[sel])
+            intra = (np.arange(tot)
+                     - np.repeat(np.cumsum(h_all[sel]) - h_all[sel],
+                                 h_all[sel]))
+            pr = lay.rowoff[sel][owner] + intra
+            nrows = int(solver.plan.nrows[ci])
+            gr = np.full(nrows, a.n, dtype=np.int64)
+            cnt = np.zeros(nrows, dtype=np.int32)
+            gr[pr] = lay.rows[np.repeat(lay.rptr[sel], h_all[sel])
+                              + intra]
+            cnt[pr] = np.minimum(intra + 1, w_all[sel][owner])
+            pool = solver.lx[ci]
+            colv = jnp.arange(c, dtype=jnp.int32)[None, :] \
+                < jnp.asarray(cnt)[:, None]
+            rs = jnp.sum(jnp.where(colv, pool, 0), axis=1)
+            b_dev = b_dev.at[jnp.asarray(gr)].add(rs)
+        b = np.asarray(b_dev[:a.n])
     x = jax.block_until_ready(solver.executor.solve_loop(solver.lx, b, 3))
     stimes = []
     for _ in range(3):
@@ -73,7 +114,20 @@ def main():
         stimes.append((time.perf_counter() - t0) / 3)
     smedian = sorted(stimes)[len(stimes) // 2]
 
-    residual = solver.factor_residual()
+    if a.n < 5e5:
+        residual = solver.factor_residual()
+    else:
+        # end-to-end SPD-solve gate in the solution domain: A x = A*1
+        # exercises L, L^T and the A scatter without materializing L
+        ba = np.zeros(a.n, dtype=np.float32)
+        ad, ai, ap_ = solver.ap.data, solver.ap.indices, solver.ap.indptr
+        ones = np.ones(a.n, dtype=np.float32)
+        import scipy.sparse as sp
+        amat = sp.csc_matrix((ad, ai, ap_), shape=(a.n, a.n))
+        full = amat + sp.tril(amat, -1).T     # stored lower half
+        ba = np.asarray(full @ ones, dtype=np.float32)
+        xs = np.asarray(solver.executor.solve_spd(solver.lx, ba))
+        residual = float(np.max(np.abs(xs - 1.0)))
     solve_err = float(np.max(np.abs(np.asarray(x) - 1.0)))
     flops = solver.plan.flops
     ref_time = flops * _REF_SEC_PER_FLOP / _REF_THREADS

@@ -37,8 +37,10 @@ def run_single_g(g: int, grid: int) -> None:
     the compiled programs accumulate; one process per G stays under the
     kernel's max_map_count) and print the row JSON."""
     import jax
-    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    # unconditional: the environment's sitecustomize imports jax on the
+    # axon (TPU) platform at interpreter start, so the env var alone is
+    # ignored — only the config override reaches the loaded jax
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
@@ -51,7 +53,12 @@ def run_single_g(g: int, grid: int) -> None:
 
     cores = os.cpu_count() or 1
     a = generate.laplace_3d(grid)
-    cfg = SolverConfig(ordering="nd", dtype="float32", tier="supernodal")
+    # scatter updates on EVERY row: the distributed executor always
+    # scatters (its deltas ride collectives), and the scatter-free
+    # gather path is a TPU win but ~5x SLOWER on this CPU host — mixing
+    # paths would fake the G=1 baseline
+    cfg = SolverConfig(ordering="nd", dtype="float32", tier="supernodal",
+                       update_delta="scatter")
     s = CholeskySolver(a, cfg)
     data32 = s.ap.data.astype(np.float32)
     nnzl = int(s.cc.sum())

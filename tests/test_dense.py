@@ -130,3 +130,52 @@ def test_pallas_cholesky_inverse_matches_dense():
         L2, Li2 = cholesky_inverse_pallas(D, tile_p=4, interpret=True)
         assert float(jnp.max(jnp.abs(L1 - L2))) < 1e-5 * c
         assert float(jnp.max(jnp.abs(Li1 - Li2))) < 1e-6
+
+
+def test_pallas_fused_finalize_matches_xla_chain():
+    """finalize_fused_pallas must reproduce the XLA finalize inner chain
+    (ops/supernodal._finalize): masked-SPD build, blocked chol+inverse,
+    Linv^T storage, TRSM-as-GEMM and the lane-masked diff — interpret
+    mode on CPU, f32."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from parsy_bench_tpu.ops.dense import cholesky_inverse, masked_spd
+    from parsy_bench_tpu.ops.pallas_kernels import finalize_fused_pallas
+
+    rng = np.random.default_rng(7)
+    for (P, H, c, cnt) in ((4, 32, 32, 3), (8, 64, 16, 8), (2, 256, 128, 1)):
+        w = rng.integers(1, c + 1, P).astype(np.int32)
+        blk = rng.standard_normal((P, H, c)).astype(np.float32)
+        # SPD top so the chol chain is well-posed
+        A = rng.standard_normal((P, c, c)).astype(np.float32)
+        blk[:, :c, :] = np.einsum("pij,pkj->pik", A, A) + c * np.eye(
+            c, dtype=np.float32)
+        blkj, wj = jnp.asarray(blk), jnp.asarray(w)
+        # ---- XLA reference chain (ops/supernodal._finalize inner loop)
+        dt = jnp.float32
+        D = masked_spd(blkj[:, :c, :], wj, c, dt)
+        L, Lib = cholesky_inverse(D)
+        i_c = jax.lax.broadcasted_iota(jnp.int32, (1, c, c), 1)
+        j_c = jax.lax.broadcasted_iota(jnp.int32, (1, c, c), 2)
+        wv = wj[:, None, None]
+        Ltop = jnp.where((i_c < wv) & (j_c < wv), L, 0)
+        Ltop = Ltop + jnp.where((j_c > i_c) & (i_c < wv) & (j_c < wv),
+                                jnp.swapaxes(Lib, 1, 2), 0)
+        Y = jnp.einsum("phk,pck->phc", blkj, Lib,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=dt)
+        Y = jnp.where(jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, c), 2) < wv, Y, 0)
+        top = jnp.where(i_c < wv, Ltop, Y[:, :c, :])
+        out = jnp.concatenate([top, Y[:, c:, :]], axis=1)
+        lane = jnp.arange(P)
+        ref = jnp.where(lane[:, None, None] < cnt, out - blkj, 0)
+        # ---- fused kernel
+        # tp=2 exercises the full-w path, tp=8 the blocked-w path
+        for tp in (2, 8):
+            if P % tp:
+                continue
+            diff = finalize_fused_pallas(blkj, wj, jnp.int32(cnt), tp=tp,
+                                         interpret=True)
+            assert float(jnp.max(jnp.abs(ref - diff))) < 1e-4, (P, H, c)

@@ -270,3 +270,25 @@ def test_aot_cache_roundtrip(tmp_path):
     x2 = np.asarray(s2.executor.solve_loop(lx2, b, 2, cache_dir=cache))
     assert np.array_equal(x1, x2)
     assert np.max(np.abs(x1 - 1.0)) < 1e-3   # testTriangular bar
+
+
+def test_gather_updates_match_scatter():
+    """The scatter-free gather/ladder update path (update_delta="gather",
+    splan._build_gather_tables) must produce the same factor as the
+    index-scatter path — same sums, different static order, so values
+    agree to f32 roundoff."""
+    from parsy_bench_tpu.core import generate
+    from parsy_bench_tpu.config import SolverConfig
+    from parsy_bench_tpu.models import CholeskySolver
+    a = generate.laplace_3d(9)
+    vals = {}
+    for upd in ("scatter", "gather"):
+        s = CholeskySolver(a, SolverConfig(
+            ordering="nd", tier="supernodal", update_delta=upd))
+        s.factorize()
+        assert s.factor_residual() < 1e-5
+        vals[upd] = np.asarray(s.executor.factor_values(s.lx))
+        has_gsc = any(getattr(seg, "gsc", None) is not None
+                      for seg in s.plan.segments)
+        assert has_gsc == (upd == "gather")
+    assert np.max(np.abs(vals["gather"] - vals["scatter"])) < 1e-5
