@@ -61,6 +61,11 @@ class SolverConfig:
     #: every bucket to the running lane maxima would exceed this multiple
     #: of the true work (ops/simplicial.py segment_levels).
     segment_alpha: float = 1.25
+    #: max (P * H * c) elements per finalize bucket — bigger buckets are
+    #: split along the (pool-contiguous) lane axis so no single (P,H,c)
+    #: temp exceeds ~128 MB f32 (the unsplit n=1e6 leaf bucket's 3.9 GB
+    #: temps exceeded HBM; splits are invisible at n<=3e5 scales).
+    fin_bucket_elems: int = 32 * 2**20
     #: slack-based level placement: delay supernodes below their update
     #: targets to flatten per-bucket lane histograms (reference slack
     #: freedom, InspectionLevel_06.h:118-132).  Cuts padded finalize

@@ -689,15 +689,32 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
                                    - layout.rlo[ci, lev[od[first]]])
                 soff[tt[first]] = (pslot[od[first]]
                                    - slot_rlo[ci, lev[od[first]]])
-                soff_buckets.append(soff)
                 w_t[tt, lane_f] = w_all[od]
                 h_t[tt, lane_f] = h_all[od]
                 cols0[tt, lane_f] = sptr[od]
                 ri, owner, intra_r = _expand(rptr[od], h_all[od])
                 rows_t[tt[owner], lane_f[owner], intra_r] = rows[ri]
-                fin_buckets.append(FinBucket(
-                    ccls=ci, c=c, H=int(H), P=P, cnt=cnt, boff=boff,
-                    w=w_t, h=h_t, cols0=cols0, rows=rows_t))
+                # split giant buckets along the lane axis: the executor
+                # materializes several (P, H, c) temps per bucket, and at
+                # n=1e6 the 252k-lane leaf bucket's temps are 3.9 GB
+                # each (4x tiling expansion at c=32) — the factorize
+                # program exceeded HBM by 461 MB.  A level's lanes are
+                # contiguous in the pool from boff, so chunk k is the
+                # same bucket with boff shifted by k*cap*H.
+                cap = max(Pmul, (int(config.fin_bucket_elems)
+                                 // (int(H) * c)) // Pmul * Pmul)
+                for k0 in range(0, P, cap):
+                    k1 = min(k0 + cap, P)
+                    fin_buckets.append(FinBucket(
+                        ccls=ci, c=c, H=int(H), P=k1 - k0,
+                        cnt=np.clip(cnt - k0, 0, k1 - k0).astype(
+                            np.int32),
+                        boff=(boff + k0 * int(H)).astype(np.int32),
+                        w=w_t[:, k0:k1], h=h_t[:, k0:k1],
+                        cols0=cols0[:, k0:k1], rows=rows_t[:, k0:k1]))
+                    # slots mirror pool order, so chunk k's slot offset
+                    # shifts by its lane offset
+                    soff_buckets.append((soff + k0).astype(np.int32))
                 end = boff + P * int(H)
                 wslice[ci] = max(wslice[ci], int(end.max()))
 
