@@ -448,17 +448,41 @@ class SupernodalExecutor:
                 tops.append(blk[:, :c, :])
                 ws.append(w)
                 lanes.append(lane)
-            D = masked_spd(jnp.concatenate(tops), jnp.concatenate(ws),
-                           c, self.dtype)
-            L, Linv = chol_inverse(D)
-            off = 0
+            # shared chol per class, but batched in groups whose total
+            # lane count keeps every (sumP, c, c) temp bounded: the
+            # all-buckets concat at n=1e6 (252k leaf lanes) built 3.9 GB
+            # chol temps and the program exceeded HBM.  One group at
+            # bench scales (n <= 3e5), so the op count is unchanged
+            # there.
+            cap = max(1, int(getattr(self.plan, "fin_chol_elems",
+                                     32 * 2**20)) // (c * c))
+            groups, cur, cur_p = [], [], 0
+            for k, blk in enumerate(blks):
+                if cur and cur_p + blk.shape[0] > cap:
+                    groups.append(cur)
+                    cur, cur_p = [], 0
+                cur.append(k)
+                cur_p += blk.shape[0]
+            if cur:
+                groups.append(cur)
+            L_g, Linv_g = {}, {}
+            for grp in groups:
+                D = masked_spd(jnp.concatenate([tops[k] for k in grp]),
+                               jnp.concatenate([ws[k] for k in grp]),
+                               c, self.dtype)
+                Lg, Lig = chol_inverse(D)
+                off = 0
+                for k in grp:
+                    Pm = blks[k].shape[0]
+                    L_g[k] = Lg[off:off + Pm]
+                    Linv_g[k] = Lig[off:off + Pm]
+                    off += Pm
             i_c = jax.lax.broadcasted_iota(jnp.int32, (1, c, c), 1)
             j_c = jax.lax.broadcasted_iota(jnp.int32, (1, c, c), 2)
-            for (b, xs), blk, w, lane in zip(bks, blks, ws, lanes):
-                Pm = blk.shape[0]
-                Lb = L[off:off + Pm]
-                Lib = Linv[off:off + Pm]
-                off += Pm
+            for k, ((b, xs), blk, w, lane) in enumerate(
+                    zip(bks, blks, ws, lanes)):
+                Lb = L_g[k]
+                Lib = Linv_g[k]
                 wv = w[:, None, None]
                 Ltop = jnp.where((i_c < wv) & (j_c < wv), Lb, 0)
                 # store Linv^T in the (otherwise zero) strict upper

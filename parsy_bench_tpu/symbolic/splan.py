@@ -172,6 +172,7 @@ class SupernodalPlan:
     solve_nseg: int | None = None      # segments the leveled solve scans
     slotw: list | None = None          # per class: (npanels,) slot widths
     gpool_mb: int = 2048               # aligned-operand pool budget
+    fin_chol_elems: int = 32 * 2**20   # shared-chol batch cap (elems)
 
     @property
     def classes(self):
@@ -940,4 +941,5 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
                           gemm_flops=gemm_flops, nrows=nrows,
                           npanels=npanels_pad, bmap=bmap, top=top,
                           solve_nseg=s0, slotw=slotw,
-                          gpool_mb=int(config.solve_gpool_mb))
+                          gpool_mb=int(config.solve_gpool_mb),
+                          fin_chol_elems=int(config.fin_bucket_elems))
