@@ -755,9 +755,18 @@ def plan_from_layout(n: int, layout: ClassLayout, cc=None,
                 br, owner_b, intra_b = _expand(bq_off[pb], qq[pb])
                 colq[gg[owner_b], tt[owner_b], ll[owner_b],
                      shift[pb][owner_b] + intra_b] = b_colpos[br]
-                upd_buckets.append(UpdBucket(
-                    kcls=kcls, K=K, ccls=ccls, c=c, Mc=Mc, Q=Q,
-                    arow=arow, brow=brow, colq=colq, dst=dstt))
+                # split giant buckets along the lane axis: one bucket's
+                # gathered A slab is (P*Mc, K) and at n=1e6 a single
+                # 256-chunk bucket materialized 3.75 GB (HBM OOM); the
+                # cap keeps each slab <= ~128 MB and is never reached at
+                # n <= 3e5
+                pcap = max(1, int(config.fin_bucket_elems) // (Mc * K))
+                for k0 in range(0, P, pcap):
+                    k1 = min(k0 + pcap, P)
+                    upd_buckets.append(UpdBucket(
+                        kcls=kcls, K=K, ccls=ccls, c=c, Mc=Mc, Q=Q,
+                        arow=arow[:, :, k0:k1], brow=brow[:, :, k0:k1],
+                        colq=colq[:, :, k0:k1], dst=dstt[:, :, k0:k1]))
 
         # ------------- solve-update buckets (pair granular) -------------
         # the slot window is over-allocated by the largest bucket P so
