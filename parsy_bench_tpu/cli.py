@@ -212,6 +212,13 @@ def cmd_lowerhalf(args) -> None:
 
 
 def main(argv=None) -> None:
+    import os
+    if os.environ.get("PBT_PLATFORM"):
+        # explicit backend override (e.g. eval sweeps on the CPU while
+        # the chip is busy); must go through jax.config — the
+        # environment may preload jax on another platform before main
+        import jax
+        jax.config.update("jax_platforms", os.environ["PBT_PLATFORM"])
     p = argparse.ArgumentParser(prog="parsy_bench_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in [("cholesky", cmd_cholesky), ("trisolve", cmd_trisolve)]:

@@ -275,10 +275,46 @@ class SupernodalExecutor:
         return out
 
     # ------------------------------------------------------------- pools
+    #
+    # Pools are stored PACKED: (R/8, 8c) fat rows, the same linear
+    # element order as (R, c).  The packed form is lane-exact on the TPU
+    # (8c >= 256 is a multiple of 128), while a (R, 32) array is stored
+    # 4x LANE-PADDED (measured: the n=1e6 class-32 pool was 5.87 GB
+    # device-side for 1.47 GB of data, '4.0x expansion'), and the
+    # per-step pools8 reshape the gathers need was a full-pool relayout
+    # copy INSIDE the scan body — whole-pool bytes of traffic per level
+    # step.  Row windows at arbitrary (non-8-aligned) offsets are cut
+    # with _rows_view/_rows_write below (window-sized copies only).
+
+    def _rows_view(self, pool, ci, start, rows):
+        """(rows, c) row window [start, start+rows) of a packed pool."""
+        c = self.classes[ci]
+        f0 = start // 8
+        off = start - f0 * 8
+        nf = (rows + 14) // 8          # covers off in [0, 8) + rows
+        sl = jax.lax.dynamic_slice(pool, (f0, jnp.int32(0)), (nf, 8 * c))
+        return jax.lax.dynamic_slice(
+            sl.reshape(nf * 8, c), (off, jnp.int32(0)), (rows, c))
+
+    def _rows_write(self, pool, ci, start, win):
+        """Write a (rows, c) window back into a packed pool (RMW of the
+        covering fat rows; sequential within a step, so no races)."""
+        c = self.classes[ci]
+        rows = win.shape[0]
+        f0 = start // 8
+        off = start - f0 * 8
+        nf = (rows + 14) // 8
+        sl = jax.lax.dynamic_slice(pool, (f0, jnp.int32(0)), (nf, 8 * c))
+        buf = jax.lax.dynamic_update_slice(
+            sl.reshape(nf * 8, c), win, (off, jnp.int32(0)))
+        return jax.lax.dynamic_update_slice(
+            pool, buf.reshape(nf, 8 * c), (f0, jnp.int32(0)))
+
     def _init_pools(self, a_data, a_map=None):
-        """Scatter A values into zeroed per-class pools.  ``a_map`` may be
-        passed explicitly (AOT-cached programs take it as an argument so
-        the serialized executable carries no baked-in index constants)."""
+        """Scatter A values into zeroed per-class PACKED pools.  ``a_map``
+        may be passed explicitly (AOT-cached programs take it as an
+        argument so the serialized executable carries no baked-in index
+        constants); its positions are flat and layout-agnostic."""
         a_map = self._a_map if a_map is None else a_map
         a_data = a_data.astype(self.dtype)
         pools = []
@@ -286,7 +322,7 @@ class SupernodalExecutor:
             r = int(self.plan.nrows[ci])
             pos, sel = a_map[ci]
             flat = jnp.zeros(r * c, self.dtype).at[pos].add(a_data[sel])
-            pools.append(flat.reshape(r, c))
+            pools.append(flat.reshape(r // 8, 8 * c))
         return pools
 
     # ----------------------------------------------------------- updates
@@ -299,8 +335,7 @@ class SupernodalExecutor:
         Single-shard only (sharded deltas ride collectives and keep the
         scatter form)."""
         cbuf = [[] for _ in self.classes]
-        pools8 = [p.reshape(-1, 8 * c)
-                  for p, c in zip(pools, self.classes)]
+        pools8 = pools
         for b, xs in zip(seg.upd, upd_xs):
             A = pools8[b.kcls][
                 (xs["arow"][0] // 8)[:, None] + _iota(b.Mc // 8)
@@ -341,12 +376,12 @@ class SupernodalExecutor:
                                               gsc_xs)
         deltas = [jnp.zeros((seg.wslice[ci] + 1, c), self.dtype)
                   for ci, c in enumerate(self.classes)]
-        # packed pools: 8 consecutive rows per fat row, so the chunk
-        # gathers below move (Mc/8)-row payloads per index instead of
-        # per-row DMAs (index-driven gathers cost per ROW — the dominant
-        # update cost before round 3; splan aligns all chunk starts)
-        pools8 = [p.reshape(-1, 8 * c)
-                  for p, c in zip(pools, self.classes)]
+        # pools are stored packed (8 consecutive rows per fat row), so
+        # the chunk gathers below move (Mc/8)-row payloads per index
+        # instead of per-row DMAs (index-driven gathers cost per ROW —
+        # the dominant update cost before round 3; splan aligns all
+        # chunk starts)
+        pools8 = pools
         for b, xs in zip(seg.upd, upd_xs):
             G = xs["arow"].shape[0]
             for g in range(G):
@@ -523,15 +558,13 @@ class SupernodalExecutor:
     # ------------------------------------------------------------ factor
     def _step(self, pools, seg: SupSegment, upd_xs, fin_xs, rlo,
               axis_name=None, gsc_xs=None):
-        wins = [jax.lax.dynamic_slice(
-            pools[ci], (rlo[ci], jnp.int32(0)), (seg.wslice[ci], c))
-            for ci, c in enumerate(self.classes)]
+        wins = [self._rows_view(pools[ci], ci, rlo[ci], seg.wslice[ci])
+                for ci in range(self.ncls)]
         wins = self._apply_updates(pools, wins, seg, upd_xs, axis_name,
                                    gsc_xs)
         wins = self._finalize(wins, seg, fin_xs, axis_name)
-        return [jax.lax.dynamic_update_slice(
-            pools[ci], wins[ci], (rlo[ci], jnp.int32(0)))
-            for ci in range(self.ncls)]
+        return [self._rows_write(pools[ci], ci, rlo[ci], wins[ci])
+                for ci in range(self.ncls)]
 
     def _factorize_impl(self, a_data, flat_rep, flat_upd, axis_name=None):
         pools = self._init_pools(a_data)
@@ -621,8 +654,8 @@ class SupernodalExecutor:
                 if self.plan.npanels is not None else None)
 
     def _pools_sds(self):
-        return tuple(jax.ShapeDtypeStruct((int(self.plan.nrows[ci]), c),
-                                          self.dtype)
+        return tuple(jax.ShapeDtypeStruct(
+            (int(self.plan.nrows[ci]) // 8, 8 * c), self.dtype)
                      for ci, c in enumerate(self.classes))
 
     def init_pools_cached(self, a_data, cache_dir: str | None):
@@ -713,7 +746,8 @@ class SupernodalExecutor:
         if self._factorize_loop is None:
             def run(d, fr, fu, iters):
                 zero = tuple(
-                    jnp.zeros((int(self.plan.nrows[ci]), c), self.dtype)
+                    jnp.zeros((int(self.plan.nrows[ci]) // 8, 8 * c),
+                              self.dtype)
                     for ci, c in enumerate(self.classes))
                 def body(i, carry):
                     acc, _ = carry
@@ -844,9 +878,9 @@ class SupernodalExecutor:
                     new = jnp.concatenate([top, blk[:, c:, :]], axis=1)
                     start = rlo[b.ccls] + fx["boff"]
                     pools = list(pools)
-                    pools[b.ccls] = jax.lax.dynamic_update_slice(
-                        pools[b.ccls], new.reshape(b.P * b.H, c),
-                        (start, jnp.int32(0)))
+                    pools[b.ccls] = self._rows_write(
+                        pools[b.ccls], b.ccls, start,
+                        new.reshape(b.P * b.H, c))
                 return tuple(pools), None
             pools, _ = jax.lax.scan(step, tuple(pools), (fin_xs, rlo_all))
         return pools
@@ -859,9 +893,8 @@ class SupernodalExecutor:
 
     def _panel_blk(self, pools, b, xs, rlo):
         start = rlo[b.ccls] + xs["boff"]
-        return jax.lax.dynamic_slice(
-            pools[b.ccls], (start, jnp.int32(0)),
-            (b.P * b.H, b.c)).reshape(b.P, b.H, b.c)
+        return self._rows_view(pools[b.ccls], b.ccls, start,
+                               b.P * b.H).reshape(b.P, b.H, b.c)
 
     def _own_mask(self, P, axis_name):
         """Owner stripe of a bucket's lane axis for SPMD solves: lane
@@ -997,8 +1030,7 @@ class SupernodalExecutor:
             xb.append(jnp.zeros(r * c, self.dtype)
                       .at[m[0]].set(b_vec.astype(self.dtype)[m[1]])
                       .reshape(r, c))
-        pools8 = [p.reshape(-1, 8 * c)
-                  for p, c in zip(pools, classes)]
+        pools8 = pools
         slotw = [vs(m) for m in self._slotw_meta]
         nseg_s = (self.plan.solve_nseg
                   if getattr(self.plan, "solve_nseg", None) is not None
@@ -1179,8 +1211,7 @@ class SupernodalExecutor:
             return jax.lax.slice_in_dim(
                 flat_sol, off, off + int(np.prod(shape)),
                 axis=0).reshape(shape)
-        pools8 = [p.reshape(-1, 8 * c)
-                  for p, c in zip(pools, self.classes)]
+        pools8 = pools
 
         def build(b, sx, T):
             P = sx["brow"].shape[-1]
@@ -1246,7 +1277,10 @@ class SupernodalExecutor:
         Td = jnp.zeros(t * t, self.dtype)
         for ci in range(self.ncls):
             m = vs(self._top_meta["gather"][ci])   # (3, k)
-            Td = Td.at[m[2]].set(pools[ci][m[0], m[1]])
+            # flat (row*c + col) indexing is pool-layout-agnostic
+            c_i = self.classes[ci]
+            Td = Td.at[m[2]].set(
+                pools[ci].reshape(-1)[m[0] * c_i + m[1]])
         return dense_tri_inv(Td.reshape(t, t))
 
     def top_inverse(self, pools):

@@ -116,14 +116,12 @@ def main():
         return wins
 
     def step_variant(pools, fin_xs, rlo, mode):
-        wins = [jax.lax.dynamic_slice(
-            pools[ci], (rlo[ci], jnp.int32(0)), (seg.wslice[ci], c))
-            for ci, c in enumerate(classes)]
+        wins = [ex._rows_view(pools[ci], ci, rlo[ci], seg.wslice[ci])
+                for ci in range(len(classes))]
         if mode != "slices":
             wins = finalize_ablate(wins, fin_xs, mode)
-        return [jax.lax.dynamic_update_slice(
-            pools[ci], wins[ci], (rlo[ci], jnp.int32(0)))
-            for ci in range(len(classes))]
+        return [ex._rows_write(pools[ci], ci, rlo[ci], wins[ci])
+                for ci in range(len(classes))]
 
     pools = jax.block_until_ready(
         ex._init_pools_j(jnp.asarray(solver.ap.data.astype(np.float32))))

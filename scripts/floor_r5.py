@@ -54,7 +54,7 @@ def main():
     classes = ex.classes
 
     def updates_ablate(pools, wins, seg, upd_xs, gsc_xs, mode):
-        pools8 = [p.reshape(-1, 8 * c) for p, c in zip(pools, classes)]
+        pools8 = pools   # pools are stored packed (r5)
         cbuf = [[] for _ in classes]
         acc = jnp.zeros((), jnp.float32)
         if mode != "gather_only":
@@ -105,16 +105,14 @@ def main():
         return out
 
     def step_variant(pools, seg, upd_xs, fin_xs, rlo, gsc_xs, mode):
-        wins = [jax.lax.dynamic_slice(
-            pools[ci], (rlo[ci], jnp.int32(0)), (seg.wslice[ci], c))
-            for ci, c in enumerate(classes)]
+        wins = [ex._rows_view(pools[ci], ci, rlo[ci], seg.wslice[ci])
+                for ci in range(len(classes))]
         if mode != "fin_only":
             wins = updates_ablate(pools, wins, seg, upd_xs, gsc_xs, mode)
         if mode in ("full", "fin_only"):
             wins = ex._finalize(wins, seg, fin_xs)
-        return [jax.lax.dynamic_update_slice(
-            pools[ci], wins[ci], (rlo[ci], jnp.int32(0)))
-            for ci in range(len(classes))]
+        return [ex._rows_write(pools[ci], ci, rlo[ci], wins[ci])
+                for ci in range(len(classes))]
 
     import numpy as np
     pools = jax.block_until_ready(

@@ -85,7 +85,26 @@ def main():
         part = lay.part
         w_all = np.diff(part.sptr)
         h_all = np.diff(lay.rptr)
-        b_dev = jnp.zeros(a.n + 1, jnp.float32)
+        b_np = np.zeros(a.n + 1, dtype=np.float64)
+        _sum_fns = {}
+
+        def _chunk_sum(k, c):
+            # masked row sums of k fat rows of a PACKED (R/8, 8c) pool;
+            # chunked so no (R, c) view (4x lane-padded on TPU at c=32)
+            # is ever materialized at full pool size
+            if (k, c) not in _sum_fns:
+                import jax as _jax
+
+                def f(pool, r0, cnt):
+                    v = _jax.lax.dynamic_slice(
+                        pool, (r0, jnp.int32(0)),
+                        (k, pool.shape[1])).reshape(k * 8, c)
+                    m = jnp.arange(c, dtype=jnp.int32)[None, :] \
+                        < cnt[:, None]
+                    return jnp.sum(jnp.where(m, v, 0), axis=1)
+                _sum_fns[(k, c)] = _jax.jit(f)
+            return _sum_fns[(k, c)]
+
         for ci, c in enumerate(lay.classes):
             sel = np.nonzero(lay.cls == ci)[0]
             tot = int(h_all[sel].sum())
@@ -101,11 +120,16 @@ def main():
                               + intra]
             cnt[pr] = np.minimum(intra + 1, w_all[sel][owner])
             pool = solver.lx[ci]
-            colv = jnp.arange(c, dtype=jnp.int32)[None, :] \
-                < jnp.asarray(cnt)[:, None]
-            rs = jnp.sum(jnp.where(colv, pool, 0), axis=1)
-            b_dev = b_dev.at[jnp.asarray(gr)].add(rs)
-        b = np.asarray(b_dev[:a.n])
+            nfat = pool.shape[0]
+            CHF = 1 << 16
+            r = 0
+            while r < nfat:
+                k = min(CHF, nfat - r)
+                rs = np.asarray(_chunk_sum(k, c)(
+                    pool, r, jnp.asarray(cnt[r * 8:(r + k) * 8])))
+                np.add.at(b_np, gr[r * 8:(r + k) * 8], rs)
+                r += k
+        b = b_np[:a.n].astype(np.float32)
     x = jax.block_until_ready(solver.executor.solve_loop(solver.lx, b, 3))
     stimes = []
     for _ in range(3):
